@@ -1,0 +1,56 @@
+"""morfem_tpu — TPU-native model order reduction for FEM frequency sweeps.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+reference library SzymonKnopp/morfem: fast frequency sweeps of parametric
+affine systems
+
+    (t_a0(t)·A0 + t_a1(t)·A1 + t_a2(t)·A2) · X = t_b(t) · B,   t ∈ domain
+
+via Galerkin projection onto a snapshot basis (greedy, driven by an
+algebraic residual-norm estimator, or equally distributed), with the whole
+pipeline — snapshot LU solves, Gram-block estimation, orthonormalization,
+projection, and the batched reduced sweep — running as compiled XLA/Pallas
+programs on TPU, and scaling across chips via `jax.sharding` meshes.
+
+Public API parity: `morfem()` keeps the reference's entry-point contract
+(reference: implementation.py:99-186). The idiomatic API is
+`AffineSystem` → `build_reduced_model()` → `ReducedModel.sweep()`.
+"""
+
+from morfem_tpu.config import MorfemConfig, DEFAULT_CONFIG
+from morfem_tpu.system import AffineSystem
+from morfem_tpu.mor.api import morfem, build_reduced_model
+from morfem_tpu.mor.reduced import ReducedModel, project, sweep
+from morfem_tpu.mor.greedy import greedy_basis, GreedyResult
+from morfem_tpu.mor.equally import equally_distributed_basis
+from morfem_tpu.mor.estimator import estimator_blocks, estimate_errors
+from morfem_tpu.ops.solve import (
+    solve_point,
+    solve_batch,
+    solve_sweep,
+    lu_solve_refined,
+)
+from morfem_tpu.utils.timing import PhaseTimer
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "MorfemConfig",
+    "DEFAULT_CONFIG",
+    "AffineSystem",
+    "ReducedModel",
+    "morfem",
+    "build_reduced_model",
+    "project",
+    "sweep",
+    "greedy_basis",
+    "GreedyResult",
+    "equally_distributed_basis",
+    "estimator_blocks",
+    "estimate_errors",
+    "solve_point",
+    "solve_batch",
+    "solve_sweep",
+    "lu_solve_refined",
+    "PhaseTimer",
+]

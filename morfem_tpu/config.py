@@ -1,0 +1,96 @@
+"""Framework configuration.
+
+The reference keeps its knobs as module-level globals
+(reference: implementation.py:12-16 — ERROR_THRESHOLD, USE_EQUALLY_DISTRIBUTED,
+EQUALLY_DISTRIBUTED_REDUCTION_RATE, PLOT_GREEDY_ITERATIONS, USE_OPM). Globals
+are hostile to `jax.jit` (retracing, hidden state), so here every knob lives in
+one frozen dataclass that is passed explicitly and hashed as a static jit
+argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class MorfemConfig:
+    """All tunables of the MOR pipeline. Hashable → usable as a static jit arg.
+
+    Attributes:
+      error_threshold: greedy convergence threshold on the max residual-norm
+        estimate over the domain (reference: implementation.py:12).
+      use_equally_distributed: select the equally-distributed basis strategy
+        instead of the greedy one (reference: implementation.py:13, :175).
+      equally_distributed_reduction_rate: fraction of domain points NOT used
+        as seeds in the equally-distributed strategy; the seed count is
+        ``floor(I * (1 - rate))`` (reference: implementation.py:14, :198-203).
+      max_greedy_iterations: static upper bound on greedy iterations. The
+        reference loops unboundedly (implementation.py:269); a static bound is
+        required for a fully-compiled `lax.while_loop` with padded buffers.
+      orthonormalization: "svd" — re-orthonormalize the whole padded basis by
+        thin SVD each iteration (reference default, implementation.py:296-298);
+        "mgs" — orthonormalize only the new snapshot columns against the
+        existing base with twice-iterated classical Gram-Schmidt (the
+        reference's USE_OPM path, implementation.py:275-295, :491-523, made
+        numerically safe by the second pass).
+      factor_dtype_name: dtype used for the LU factorization ("float32" or
+        "float64"). On TPU, float64 LU does not compile, but float32 LU on the
+        MXU plus float64 iterative refinement recovers ~1e-15 relative
+        residuals; on CPU float64 may be used directly.
+      refine_iterations: number of iterative-refinement steps applied after
+        each LU solve when the working dtype is wider than the factorization
+        dtype. 0 disables refinement.
+      solve_chunk: number of full-order systems materialized/factored at once
+        in batched full-order sweeps (bounds HBM: chunk × N² × dtype bytes).
+      use_pallas_reduced_sweep: run the reduced-model frequency sweep with the
+        fused Pallas assemble+solve kernel instead of the XLA vmap path.
+      symmetrize: apply the reference's `(A + Aᵀ)/2` symmetrization when
+        assembling system matrices (reference: implementation.py:528). Kept on
+        by default for result parity.
+      dependency_tolerance: greedy stagnation guard. A new snapshot is only
+        appended if, after projecting out the current basis, at least one of
+        its columns retains more than this fraction of its norm. When the
+        error threshold sits below the solver's accuracy floor, the greedy
+        argmax re-picks the same point and the repeated snapshot is
+        (numerically) linearly dependent; appending it degrades the basis
+        toward rank deficiency — which makes TPU's emulated-f64 SVD produce
+        NaNs. The reference has no such guard (it would loop forever,
+        implementation.py:269-299); here stagnation terminates the loop
+        cleanly with `converged=False`.
+    """
+
+    error_threshold: float = 1e-6
+    use_equally_distributed: bool = False
+    equally_distributed_reduction_rate: float = 0.97
+    max_greedy_iterations: int = 40
+    orthonormalization: str = "svd"
+    factor_dtype_name: str = "float32"
+    refine_iterations: int = 2
+    solve_chunk: int = 8
+    use_pallas_reduced_sweep: bool = False
+    symmetrize: bool = True
+    dependency_tolerance: float = 1e-12
+
+    def __post_init__(self):
+        if self.orthonormalization not in ("svd", "mgs"):
+            raise ValueError(
+                f"orthonormalization must be 'svd' or 'mgs', got "
+                f"{self.orthonormalization!r}"
+            )
+        if self.factor_dtype_name not in ("float32", "float64"):
+            raise ValueError(
+                f"factor_dtype_name must be 'float32' or 'float64', got "
+                f"{self.factor_dtype_name!r}"
+            )
+        if not 0.0 <= self.equally_distributed_reduction_rate < 1.0:
+            raise ValueError(
+                "equally_distributed_reduction_rate must be in [0, 1)"
+            )
+
+    def replace(self, **kw) -> "MorfemConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = MorfemConfig()

@@ -1,0 +1,116 @@
+"""Public API: ``morfem()`` and the builder it wraps.
+
+Same call contract as the reference's entry point
+(implementation.py:99-186):
+
+    morfem(domain, a0, a1, a2, b, t_a0, t_a1, t_a2, t_b)
+        -> (x, q, a0_r, a1_r, a2_r, b_r)
+
+with the same defaults (t_a0 = 1, t_a1 = t, t_a2 = t², t_b = t — the wave
+equation form) and the same shape contract: x [I, Nr, M], q [N, Nr],
+a*_r [Nr, Nr], b_r [Nr, M]. Also supports the documented equivalent-call
+forms (docs/source/index.rst:52-62): any coefficient may be overridden by a
+keyword, and operators may be zero matrices.
+
+Differences (intentional, TPU-first):
+
+  * No global flags — behaviour is configured via an explicit
+    `MorfemConfig` argument.
+  * The reference mutates its ModelDefinition in place
+    (implementation.py:179: ``md_r = md``); here nothing is mutated.
+  * The pipeline up to the padded reduced model is a single compiled
+    program. The variable basis size Nr is materialized exactly once at
+    the end (one device→host sync to trim the padding).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from morfem_tpu.config import MorfemConfig, DEFAULT_CONFIG
+from morfem_tpu.mor.equally import equally_distributed_basis
+from morfem_tpu.mor.greedy import greedy_basis, GreedyResult
+from morfem_tpu.mor.reduced import ReducedModel, project, sweep
+from morfem_tpu.system import (
+    AffineSystem,
+    _default_t_a0,
+    _default_t_a1,
+    _default_t_a2,
+    _default_t_b,
+)
+from morfem_tpu.utils.timing import PhaseTimer
+
+
+def build_reduced_model(
+    sys: AffineSystem,
+    config: MorfemConfig = DEFAULT_CONFIG,
+    timer: Optional[PhaseTimer] = None,
+) -> Tuple[ReducedModel, Optional[GreedyResult]]:
+    """Build the projection basis and project the system.
+
+    Counterpart of `projection_base` / `projection_base_equally_distributed`
+    selection (implementation.py:175) plus the projection step
+    (implementation.py:179-184). Returns the padded ReducedModel and, for
+    the greedy strategy, the GreedyResult with the error history
+    (the reference's `error_in_iteration`, implementation.py:265-271).
+    """
+    timer = timer or PhaseTimer(disabled=True)
+    greedy_result = None
+    with timer.phase("projection base"):
+        if config.use_equally_distributed:
+            q = equally_distributed_basis(sys, config)
+            ncols = jnp.asarray(q.shape[1])
+        else:
+            greedy_result = greedy_basis(sys, config)
+            q, ncols = greedy_result.q, greedy_result.ncols
+        jax.block_until_ready(q)
+    with timer.phase("projection"):
+        rm = project(sys, q, ncols)
+        jax.block_until_ready(rm.b_r)
+    return rm, greedy_result
+
+
+def morfem(
+    domain,
+    a0,
+    a1,
+    a2,
+    b,
+    t_a0=_default_t_a0,
+    t_a1=_default_t_a1,
+    t_a2=_default_t_a2,
+    t_b=_default_t_b,
+    config: MorfemConfig = DEFAULT_CONFIG,
+    timer: Optional[PhaseTimer] = None,
+):
+    """Solve the parametric problem via model order reduction.
+
+    | Solves (t_a0·a0 + t_a1·a1 + t_a2·a2)·x = t_b·b over the whole domain
+    | by Galerkin projection onto a snapshot basis, exactly like the
+    | reference `morfem` (implementation.py:99-186).
+
+    Args:
+      domain: [I] ordered parameter grid.
+      a0, a1, a2: [N, N] system-matrix addends (numpy, jnp, SciPy sparse or
+        BCOO — densified on device).
+      b: [N, M] impulse-vector part.
+      t_a0, t_a1, t_a2, t_b: JAX-traceable coefficient callables; defaults
+        1, t, t², t.
+      config: MorfemConfig (strategy, threshold, precision, …).
+      timer: optional PhaseTimer for a phase breakdown.
+
+    Returns:
+      (x, q, a0_r, a1_r, a2_r, b_r) — x [I, Nr, M] reduced solutions,
+      q [N, Nr] basis, a*_r [Nr, Nr], b_r [Nr, M]. Padding is trimmed.
+    """
+    timer = timer or PhaseTimer(disabled=True)
+    sys = AffineSystem.create(domain, a0, a1, a2, b, t_a0, t_a1, t_a2, t_b)
+    rm, _ = build_reduced_model(sys, config, timer)
+    rm = rm.trim()
+    with timer.phase("reduced sweep"):
+        x = sweep(rm, config)
+        jax.block_until_ready(x)
+    return x, rm.q, rm.r0, rm.r1, rm.r2, rm.b_r

@@ -1,0 +1,199 @@
+"""Greedy projection-basis construction — fully compiled.
+
+Counterpart of the reference's ``projection_base`` loop
+(implementation.py:217-318): seed the basis with snapshots at the first and
+last domain points, then repeatedly (1) estimate the residual norm over the
+whole domain, (2) take a full-order snapshot at the worst point, (3)
+re-orthonormalize — until the max estimate drops below the threshold.
+
+TPU-native redesign: the basis size grows dynamically, which XLA cannot
+express with growing shapes. Instead Q lives in a padded [N, K] buffer
+(K = columns for the 2 seed snapshots + `max_greedy_iterations` refinement
+snapshots) with an active-column count, and the whole loop runs as ONE
+`lax.while_loop` on device: estimator (batched), argmax, N×N snapshot LU,
+orthonormalization — no host round-trips until the final result is read.
+
+The reference's USE_OPM incremental Gram machinery
+(implementation.py:230-263, :275-295) has no counterpart here because the
+redesigned estimator makes recomputation cheaper than the reference's
+increments (see morfem_tpu.mor.estimator docstring).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from morfem_tpu.config import MorfemConfig, DEFAULT_CONFIG
+from morfem_tpu.mor.estimator import estimate_errors, estimator_blocks
+from morfem_tpu.mor.reduced import ReducedModel
+from morfem_tpu.ops.orthonormalize import (
+    column_mask,
+    orthonormalize_append_cgs2,
+    orthonormalize_svd_masked,
+)
+from morfem_tpu.ops.solve import solve_point
+from morfem_tpu.system import AffineSystem
+
+
+class GreedyState(NamedTuple):
+    q: jax.Array  # [N, K] padded basis
+    ncols: jax.Array  # active columns
+    it: jax.Array  # completed estimator evaluations
+    err_hist: jax.Array  # [max_iters + 1, I] estimator history
+    converged: jax.Array  # bool: max estimator error < threshold
+    done: jax.Array  # bool: converged OR column budget exhausted
+
+
+class GreedyResult(NamedTuple):
+    q: jax.Array  # [N, K] padded orthonormal basis
+    ncols: jax.Array  # active columns
+    iterations: jax.Array  # number of estimator evaluations performed
+    converged: jax.Array  # bool
+    err_hist: jax.Array  # [max_iters + 1, I]; rows ≥ iterations are zero
+
+
+def max_basis_columns(m: int, config: MorfemConfig) -> int:
+    """Static padded basis width: 2 seed snapshots + one per greedy iter."""
+    return (2 + config.max_greedy_iterations) * m
+
+
+def _reduced_from_u(
+    sys: AffineSystem, q: jax.Array, ncols: jax.Array, u: jax.Array
+) -> ReducedModel:
+    """Build the reduced model reusing U_i = A_i·Q from the estimator."""
+    mask = column_mask(q.shape[1], ncols, q.dtype)
+    qmh = (q * mask).conj().T
+    return ReducedModel(
+        domain=sys.domain,
+        q=q,
+        r0=qmh @ u[0],
+        r1=qmh @ u[1],
+        r2=qmh @ u[2],
+        b_r=qmh @ sys.b,
+        ncols=ncols,
+        t_a0=sys.t_a0,
+        t_a1=sys.t_a1,
+        t_a2=sys.t_a2,
+        t_b=sys.t_b,
+    )
+
+
+def greedy_basis(
+    sys: AffineSystem, config: MorfemConfig = DEFAULT_CONFIG
+) -> GreedyResult:
+    """Run the greedy loop; returns the padded orthonormal basis.
+
+    Reference parity notes:
+      * seeds = snapshots at domain[0] and domain[-1], orthonormalized by
+        thin SVD (implementation.py:222-226);
+      * per-iteration convergence check `max(err) < error_threshold`
+        (implementation.py:321-328);
+      * the error history row is recorded for every estimator evaluation,
+        including the final converged one (implementation.py:265-271).
+    """
+    m = sys.m
+    n = sys.n
+    k = max_basis_columns(m, config)
+    i = sys.num_points
+    max_iters = config.max_greedy_iterations
+    dtype = sys.dtype
+    rdtype = jnp.zeros((), dtype).real.dtype
+
+    x0 = solve_point(sys, sys.domain[0], config)
+    x1 = solve_point(sys, sys.domain[-1], config)
+    seeds = jnp.concatenate([x0, x1], axis=1)  # [N, 2M]
+    q = jnp.zeros((n, k), dtype)
+    q = lax.dynamic_update_slice(q, seeds, (0, 0))
+    q = orthonormalize_svd_masked(q, jnp.asarray(2 * m))
+
+    init = GreedyState(
+        q=q,
+        ncols=jnp.asarray(2 * m),
+        it=jnp.asarray(0),
+        err_hist=jnp.zeros((max_iters + 1, i), rdtype),
+        converged=jnp.asarray(False),
+        done=jnp.asarray(False),
+    )
+
+    def cond(s: GreedyState):
+        return jnp.logical_and(~s.done, s.it <= max_iters)
+
+    def body(s: GreedyState):
+        blocks, u = estimator_blocks(sys, s.q, s.ncols)
+        rm = _reduced_from_u(sys, s.q, s.ncols, u)
+        err, _ = estimate_errors(rm, blocks, config)
+        err_hist = s.err_hist.at[s.it].set(err)
+        err_max = jnp.max(err)
+        converged = err_max < config.error_threshold
+        # Out of column budget → stop expanding even if not converged.
+        out_of_budget = s.ncols + m > k
+        # A NaN estimate can never converge; bail out instead of burning
+        # the remaining budget on garbage snapshots.
+        poisoned = jnp.isnan(err_max)
+
+        def solve_new(args):
+            q, _ = args
+            t_star = sys.domain[jnp.argmax(err)]
+            x_new = solve_point(sys, t_star, config).astype(q.dtype)
+            # Stagnation guard (see MorfemConfig.dependency_tolerance):
+            # does any new column retain norm after projecting out span(Q)?
+            mask = column_mask(k, s.ncols, q.dtype)
+
+            def project_out(v):
+                return v - q @ ((q.conj().T @ v) * mask[:, None])
+
+            resid = project_out(project_out(x_new))
+            ratio = jnp.linalg.norm(resid, axis=0) / jnp.maximum(
+                jnp.linalg.norm(x_new, axis=0), 1e-300
+            )
+            independent = jnp.max(ratio) > config.dependency_tolerance
+            return x_new, independent
+
+        x_new, independent = lax.cond(
+            jnp.logical_or(converged, jnp.logical_or(out_of_budget, poisoned)),
+            lambda args: (jnp.zeros((n, m), s.q.dtype), jnp.asarray(False)),
+            solve_new,
+            (s.q, s.ncols),
+        )
+
+        def expand(args):
+            q, ncols = args
+            if config.orthonormalization == "svd":
+                # reference default path: stack + full thin SVD
+                # (implementation.py:296-298)
+                q2 = lax.dynamic_update_slice(q, x_new, (0, ncols))
+                q2 = orthonormalize_svd_masked(q2, ncols + m)
+                return q2, ncols + m
+            else:
+                # reference USE_OPM path: Gram-Schmidt against the base
+                # (implementation.py:275-295), done as CGS2
+                return orthonormalize_append_cgs2(q, ncols, x_new)
+
+        q2, ncols2 = lax.cond(
+            independent, expand, lambda args: args, (s.q, s.ncols)
+        )
+        done = jnp.logical_or(
+            jnp.logical_or(converged, out_of_budget),
+            jnp.logical_or(poisoned, ~independent),
+        )
+        return GreedyState(
+            q=q2,
+            ncols=ncols2,
+            it=s.it + 1,
+            err_hist=err_hist,
+            converged=converged,
+            done=done,
+        )
+
+    final = lax.while_loop(cond, body, init)
+    return GreedyResult(
+        q=final.q,
+        ncols=final.ncols,
+        iterations=final.it,
+        converged=final.converged,
+        err_hist=final.err_hist,
+    )

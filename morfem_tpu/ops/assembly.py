@@ -1,0 +1,69 @@
+"""System-matrix / impulse-vector assembly.
+
+TPU-native counterpart of the reference's per-point assembly
+(reference: implementation.py:526-533 — ``system_matrix`` builds
+``t_a0(t)·a0 + t_a1(t)·a1 + t_a2(t)·a2`` then symmetrizes ``(a + aᵀ)/2``;
+``impulse_vector`` builds ``t_b(t)·b``).
+
+Here assembly is expressed over a *batch* of parameter points at once: the
+coefficients are an [..., 3] array and the result is an [..., N, N] stack,
+which XLA fuses into a single pass over the operands (three scaled adds +
+transpose-add) — no per-point Python loop, and the batch dimension maps to
+the natural vmap/shard axis.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from morfem_tpu.system import AffineSystem
+
+
+def system_matrix(
+    ops: Tuple[jax.Array, jax.Array, jax.Array],
+    c: jax.Array,
+    symmetrize: bool = True,
+) -> jax.Array:
+    """Assemble A(t) = Σᵢ cᵢ·Aᵢ for a batch of coefficient vectors.
+
+    Args:
+      ops: the three [N, N] addends (A0, A1, A2).
+      c: coefficients, shape [..., 3]; leading axes become batch axes.
+      symmetrize: apply the reference's ``(A + Aᵀ)/2``
+        (implementation.py:528).
+
+    Returns:
+      [..., N, N] assembled system matrices.
+    """
+    a0, a1, a2 = ops
+    c = c[..., None, None]  # [..., 3, 1, 1]
+    a = c[..., 0, :, :] * a0 + c[..., 1, :, :] * a1 + c[..., 2, :, :] * a2
+    if symmetrize:
+        a = (a + jnp.swapaxes(a, -1, -2)) * 0.5
+    return a
+
+
+def impulse_vector(b: jax.Array, cb: jax.Array) -> jax.Array:
+    """Assemble b(t) = t_b(t)·B for a batch of points.
+
+    Args:
+      b: [N, M] impulse-vector part.
+      cb: [...] coefficient batch.
+
+    Returns:
+      [..., N, M].
+    """
+    return cb[..., None, None] * b
+
+
+def assemble_at(
+    sys: AffineSystem, t: jax.Array, symmetrize: bool = True
+) -> Tuple[jax.Array, jax.Array]:
+    """Assemble (A(t), b(t)) at a scalar point or batch of points."""
+    c, cb = sys.coefficients(t)
+    a = system_matrix(sys.operators(), c, symmetrize=symmetrize)
+    rhs = impulse_vector(sys.b, cb)
+    return a, rhs

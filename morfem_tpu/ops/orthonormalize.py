@@ -1,0 +1,104 @@
+"""Orthonormalization of snapshot bases.
+
+The reference offers two strategies:
+
+* thin SVD of the stacked snapshot matrix — the default greedy path
+  re-SVDs the whole N×Nr basis every iteration
+  (reference: implementation.py:226, :296-298, :210);
+* classical Gram-Schmidt of new columns against the existing orthonormal
+  base — the USE_OPM incremental path
+  (reference: implementation.py:491-523).
+
+Both are provided here, with TPU-appropriate twists:
+
+* everything operates on *padded* bases: Q is stored as a fixed-shape
+  [N, K] buffer with the first `ncols` columns active. Static shapes keep
+  the whole greedy loop inside one compiled `lax.while_loop`.
+* classical Gram-Schmidt is applied twice ("CGS2" / twice-is-enough),
+  because single-pass CGS loses orthogonality at ~κ·ε while the reference
+  gets away with it on its well-conditioned example. Each pass is two
+  matmuls — MXU-friendly, no column-by-column Python loop
+  (vs. reference implementation.py:500-506).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def column_mask(k: int, ncols: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """[K] mask: 1.0 for columns < ncols, else 0.0."""
+    return (jnp.arange(k) < ncols).astype(dtype)
+
+
+def orthonormalize_svd(q: jax.Array) -> jax.Array:
+    """Thin-SVD orthonormalization: left singular vectors of q.
+
+    Counterpart of ``np.linalg.svd(q, full_matrices=False)[0]``
+    (reference: implementation.py:210, :226, :298).
+    """
+    return jnp.linalg.svd(q, full_matrices=False)[0]
+
+
+def orthonormalize_svd_masked(
+    q: jax.Array, ncols: jax.Array
+) -> jax.Array:
+    """Thin-SVD orthonormalization of a padded basis.
+
+    Zero (inactive) columns produce zero singular values, so the leading
+    `ncols` left singular vectors span exactly the active columns' space.
+    The result is re-masked so inactive columns are exactly zero again.
+    """
+    k = q.shape[1]
+    mask = column_mask(k, ncols, q.dtype)
+    u = jnp.linalg.svd(q * mask, full_matrices=False)[0]
+    return u * mask
+
+
+def orthonormalize_append_cgs2(
+    q: jax.Array,
+    ncols: jax.Array,
+    new: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Append `new` columns to a padded orthonormal basis via CGS2.
+
+    Orthonormalizes each new column against the active base *and the
+    previously appended new columns*, sequentially over the (few) new
+    columns but with matmul-vectorized projections — the TPU analogue of the
+    reference's `orthonormalize_to_base` (implementation.py:491-523), with a
+    second projection pass for numerical robustness.
+
+    Args:
+      q: [N, K] padded orthonormal basis (active first `ncols` columns).
+      ncols: current active column count (traced scalar).
+      new: [N, M] new snapshot columns.
+
+    Returns:
+      (q_updated, ncols + M).
+    """
+    n, k = q.shape
+    m = new.shape[1]
+
+    def add_one(carry, j):
+        q, nc = carry
+        v = new[:, j]
+        mask = column_mask(k, nc, q.dtype)
+
+        def project_out(v):
+            coeffs = (q.conj().T @ v) * mask
+            return v - q @ coeffs
+
+        v = project_out(project_out(v))
+        norm = jnp.linalg.norm(v)
+        # Guard against a zero (linearly dependent) column: keep it zero
+        # rather than dividing by ~0. Masked later by ncols accounting.
+        safe = norm > jnp.asarray(0.0, norm.dtype)
+        v = jnp.where(safe, v / jnp.where(safe, norm, 1.0), jnp.zeros_like(v))
+        q = q.at[:, nc].set(v, mode="drop")
+        return (q, nc + 1), None
+
+    (q, nc), _ = jax.lax.scan(add_one, (q, ncols), jnp.arange(m))
+    return q, nc

@@ -1,0 +1,154 @@
+"""Dense linear solvers: mixed-precision LU with iterative refinement.
+
+The reference solves every system (both the N×N full-order FEM systems and
+the Nr×Nr reduced ones) with a direct LU factorization: SciPy `splu` on
+sparse inputs, `lu_factor`/`lu_solve` on dense
+(reference: implementation.py:468-480).
+
+TPU has no sparse direct solver, and float64 LU does not compile on TPU at
+all. The TPU-native design is:
+
+  * factorize in ``factor_dtype`` (float32 → the MXU does the O(N³) work at
+    full speed);
+  * when the working dtype is wider (float64, emulated on TPU but fine for
+    O(N²) work), run a few steps of classical iterative refinement:
+    ``r = b − A·x;  x += LU⁻¹·r``.
+
+Two refinement steps recover ~1e-15 relative residuals for well-conditioned
+systems — comfortably beating the 1e-8 acceptance target — while the
+expensive O(N³) factorization stays in fast float32. On CPU (tests) float64
+LU is available and refinement becomes a no-op guard.
+
+Complex systems are supported: the factor dtype is promoted to the matching
+complex type.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+from jax import lax
+
+from morfem_tpu.config import MorfemConfig, DEFAULT_CONFIG
+from morfem_tpu.ops.assembly import assemble_at
+from morfem_tpu.system import AffineSystem
+
+
+def factor_dtype_like(dtype, factor_dtype_name: str):
+    """Resolve the factorization dtype for a given working dtype.
+
+    Promotes to complex when the working dtype is complex, and never uses a
+    *wider* factorization than the working dtype.
+    """
+    work = jnp.dtype(dtype)
+    if work in (jnp.complex64, jnp.complex128):
+        fd = jnp.complex64 if factor_dtype_name == "float32" else jnp.complex128
+        if work == jnp.complex64:
+            fd = jnp.complex64
+        return jnp.dtype(fd)
+    fd = jnp.dtype(factor_dtype_name)
+    if jnp.finfo(work).bits < jnp.finfo(fd).bits:
+        fd = work
+    return fd
+
+
+def lu_solve_refined(
+    a: jax.Array,
+    b: jax.Array,
+    *,
+    factor_dtype=jnp.float32,
+    refine_iterations: int = 2,
+) -> jax.Array:
+    """Solve ``a @ x = b`` by LU in `factor_dtype` + refinement in a.dtype.
+
+    Args:
+      a: [N, N] system matrix (working precision).
+      b: [N, M] right-hand side (working precision).
+      factor_dtype: dtype for the LU factorization (the O(N³) part).
+      refine_iterations: refinement steps; skipped automatically when the
+        working dtype is not wider than the factorization dtype.
+
+    Returns:
+      x: [N, M] solution in the working precision of ``a``/``b``.
+    """
+    work_dtype = jnp.result_type(a.dtype, b.dtype)
+    factor_dtype = jnp.dtype(factor_dtype)
+    lu, piv = jsl.lu_factor(a.astype(factor_dtype))
+    x = jsl.lu_solve((lu, piv), b.astype(factor_dtype)).astype(work_dtype)
+
+    needs_refine = refine_iterations > 0 and (
+        jnp.finfo(work_dtype).bits > jnp.finfo(factor_dtype).bits
+    )
+    if needs_refine:
+        a_w = a.astype(work_dtype)
+        b_w = b.astype(work_dtype)
+
+        def body(_, x):
+            r = b_w - a_w @ x
+            d = jsl.lu_solve((lu, piv), r.astype(factor_dtype))
+            return x + d.astype(work_dtype)
+
+        x = lax.fori_loop(0, refine_iterations, body, x)
+    return x
+
+
+def solve_point(
+    sys: AffineSystem,
+    t: jax.Array,
+    config: MorfemConfig = DEFAULT_CONFIG,
+) -> jax.Array:
+    """Solve the full-order system at one parameter point.
+
+    Counterpart of the reference's ``solve_fem_point``
+    (implementation.py:468-480): assemble A(t), b(t), solve by LU. Returns
+    x with shape [N, M].
+    """
+    a, b = assemble_at(sys, t, symmetrize=config.symmetrize)
+    return lu_solve_refined(
+        a,
+        b,
+        factor_dtype=factor_dtype_like(a.dtype, config.factor_dtype_name),
+        refine_iterations=config.refine_iterations,
+    )
+
+
+def solve_batch(
+    sys: AffineSystem,
+    ts: jax.Array,
+    config: MorfemConfig = DEFAULT_CONFIG,
+) -> jax.Array:
+    """Solve the full-order system at a batch of points — vmapped LU.
+
+    All points factorize concurrently on device. Memory: ``len(ts)`` N×N
+    factor-dtype matrices live at once; use `solve_sweep` for long grids.
+    """
+    return jax.vmap(lambda t: solve_point(sys, t, config))(ts)
+
+
+def solve_sweep(
+    sys: AffineSystem,
+    config: MorfemConfig = DEFAULT_CONFIG,
+) -> jax.Array:
+    """Full-order sweep over the whole domain — the no-MOR baseline.
+
+    Counterpart of ``solve_finite_element_method``
+    (reference: implementation.py:189-194), which loops over the domain in
+    Python. Here the sweep runs as `lax.map` over chunks of vmapped LU
+    solves: each chunk's factorizations batch onto the MXU while HBM holds
+    only ``solve_chunk`` N×N factorizations at a time.
+
+    Returns:
+      x: [I, N, M] solutions for every domain point.
+    """
+    i = sys.num_points
+    chunk = max(1, min(config.solve_chunk, i))
+    pad = (-i) % chunk
+    ts = jnp.concatenate([sys.domain, jnp.broadcast_to(sys.domain[-1:], (pad,))])
+    ts = ts.reshape((-1, chunk))
+    xs = lax.map(lambda tc: solve_batch(sys, tc, config), ts)
+    xs = xs.reshape((-1,) + xs.shape[2:])
+    return xs[:i]

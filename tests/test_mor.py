@@ -1,0 +1,241 @@
+"""Tests for the MOR engine: estimator, greedy/equally basis, public API."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from morfem_tpu import (
+    AffineSystem,
+    MorfemConfig,
+    build_reduced_model,
+    equally_distributed_basis,
+    estimate_errors,
+    estimator_blocks,
+    greedy_basis,
+    morfem,
+    project,
+    solve_sweep,
+    sweep,
+)
+from morfem_tpu.mor.equally import seed_indices
+from morfem_tpu.mor.greedy import max_basis_columns
+from morfem_tpu.utils.synthetic import random_affine_system
+
+import oracles
+
+CFG = MorfemConfig(
+    factor_dtype_name="float64", refine_iterations=0, max_greedy_iterations=20
+)
+
+
+@pytest.fixture(scope="module")
+def system():
+    key = jax.random.PRNGKey(11)
+    domain, a0, a1, a2, b = random_affine_system(key, n=64, m=2, num_points=40)
+    return tuple(np.asarray(v) for v in (domain, a0, a1, a2, b))
+
+
+@pytest.fixture(scope="module")
+def sys_obj(system):
+    domain, a0, a1, a2, b = system
+    return AffineSystem.create(domain, a0, a1, a2, b)
+
+
+class TestEstimator:
+    def test_estimator_matches_exact_residual_gram(self, system, sys_obj):
+        """The 16-block algebraic estimate must equal ‖RᴴR‖_F computed
+        explicitly from the full-order residual."""
+        domain, a0, a1, a2, b = system
+        # basis from a few exact snapshots (padded into K=8 with 5 active)
+        snaps = np.concatenate(
+            [
+                oracles.solve_point(
+                    domain[j], a0, a1, a2, b, *oracles.default_wave_coeffs()
+                )
+                for j in (0, 20)
+            ],
+            axis=1,
+        )
+        q_active = np.linalg.svd(snaps, full_matrices=False)[0][:, :4]
+        k = 8
+        q = jnp.zeros((a0.shape[0], k), dtype=jnp.float64).at[:, :4].set(q_active)
+        ncols = jnp.asarray(4)
+
+        blocks, u = estimator_blocks(sys_obj, q, ncols)
+        rm = project(sys_obj, q * (jnp.arange(k) < ncols), ncols)
+        err, x_r = estimate_errors(rm, blocks, CFG)
+
+        err_ref = oracles.residual_gram_norm(
+            domain, np.asarray(q), np.asarray(x_r), a0, a1, a2, b,
+            *oracles.default_wave_coeffs(),
+        )
+        np.testing.assert_allclose(np.asarray(err), err_ref, rtol=1e-6, atol=1e-12)
+
+    def test_blocks_reduce_to_expected_contractions(self, system, sys_obj):
+        domain, a0, a1, a2, b = system
+        q_active = np.linalg.qr(np.random.default_rng(0).normal(size=(64, 3)))[0]
+        q = jnp.zeros((64, 6), dtype=jnp.float64).at[:, :3].set(q_active)
+        blocks, u = estimator_blocks(sys_obj, q, jnp.asarray(3))
+        ops = [a0, a1, a2]
+        for i in range(3):
+            np.testing.assert_allclose(
+                np.asarray(u[i][:, :3]), ops[i] @ q_active, rtol=1e-12
+            )
+            for j in range(3):
+                ref = (ops[i] @ q_active).conj().T @ (ops[j] @ q_active)
+                np.testing.assert_allclose(
+                    np.asarray(blocks.g[i, j][:3, :3]), ref, rtol=1e-10
+                )
+            np.testing.assert_allclose(
+                np.asarray(blocks.gb[i][:3]),
+                (ops[i] @ q_active).conj().T @ b,
+                rtol=1e-10,
+            )
+        np.testing.assert_allclose(np.asarray(blocks.bb), b.T @ b, rtol=1e-12)
+
+
+class TestGreedy:
+    def test_converges_and_reduces(self, system, sys_obj):
+        domain, a0, a1, a2, b = system
+        res = greedy_basis(sys_obj, CFG)
+        assert bool(res.converged)
+        nc = int(res.ncols)
+        assert nc >= 4
+        q = np.asarray(res.q)[:, :nc]
+        np.testing.assert_allclose(q.T @ q, np.eye(nc), atol=1e-10)
+        # error history: monotone-ish decrease of the max estimator error
+        iters = int(res.iterations)
+        hist = np.asarray(res.err_hist)[:iters]
+        assert hist.shape[1] == len(domain)
+        assert hist[-1].max() < CFG.error_threshold
+        assert hist[0].max() > hist[-1].max()
+
+    def test_reduced_solution_accuracy(self, system, sys_obj):
+        domain, a0, a1, a2, b = system
+        rm, res = build_reduced_model(sys_obj, CFG)
+        x_r = sweep(rm, CFG)
+        x_rec = np.einsum("nk,ikm->inm", np.asarray(rm.q), np.asarray(x_r))
+        x_full = oracles.full_sweep(
+            domain, a0, a1, a2, b, *oracles.default_wave_coeffs()
+        )
+        rel = np.linalg.norm(x_rec - x_full) / np.linalg.norm(x_full)
+        assert rel < 1e-6, rel
+
+    def test_max_iters_budget(self, sys_obj):
+        cfg = CFG.replace(max_greedy_iterations=1, error_threshold=1e-30)
+        res = greedy_basis(sys_obj, cfg)
+        assert not bool(res.converged)
+        assert int(res.ncols) == max_basis_columns(sys_obj.m, cfg)
+
+    def test_stagnation_guard_stops_without_nan(self, sys_obj):
+        """Unreachable threshold → the greedy must stop when new snapshots
+        stop being linearly independent (dependency_tolerance), not burn
+        the whole column budget appending duplicates (which drives the
+        basis rank-deficient and NaNs TPU's emulated-f64 SVD)."""
+        cfg = CFG.replace(
+            max_greedy_iterations=30,
+            error_threshold=1e-300,
+            factor_dtype_name="float32",  # realistic accuracy floor
+            refine_iterations=2,
+        )
+        res = greedy_basis(sys_obj, cfg)
+        assert not bool(res.converged)
+        # stopped well short of the 64-column budget
+        assert int(res.ncols) < max_basis_columns(sys_obj.m, cfg)
+        assert not bool(jnp.isnan(res.q).any())
+        nc = int(res.ncols)
+        q = np.asarray(res.q)[:, :nc]
+        np.testing.assert_allclose(q.T @ q, np.eye(nc), atol=1e-9)
+
+    def test_greedy_jits_end_to_end(self, sys_obj):
+        fn = jax.jit(lambda s: greedy_basis(s, CFG))
+        res = fn(sys_obj)
+        assert bool(res.converged)
+
+    def test_mgs_variant_matches_svd_space(self, system, sys_obj):
+        cfg_mgs = CFG.replace(orthonormalization="mgs")
+        res_svd = greedy_basis(sys_obj, CFG)
+        res_mgs = greedy_basis(sys_obj, cfg_mgs)
+        assert bool(res_mgs.converged)
+        # both reach threshold; bases span comparable subspaces (projector
+        # distance small where both converged to same snapshot set)
+        n_svd, n_mgs = int(res_svd.ncols), int(res_mgs.ncols)
+        q1 = np.asarray(res_svd.q)[:, :n_svd]
+        q2 = np.asarray(res_mgs.q)[:, :n_mgs]
+        np.testing.assert_allclose(q2.T @ q2, np.eye(n_mgs), atol=1e-10)
+
+
+class TestEqually:
+    def test_seed_indices_match_numpy_linspace(self):
+        cfg = MorfemConfig(equally_distributed_reduction_rate=0.97)
+        idx = seed_indices(100, cfg)
+        ref = np.linspace(0, 99, int(100 * (1 - 0.97))).astype(int)
+        np.testing.assert_array_equal(idx, ref)
+
+    def test_basis_and_accuracy(self, system, sys_obj):
+        domain, a0, a1, a2, b = system
+        q = equally_distributed_basis(sys_obj, CFG, count=6)
+        q_np = np.asarray(q)
+        assert q_np.shape == (64, 12)
+        np.testing.assert_allclose(q_np.T @ q_np, np.eye(12), atol=1e-10)
+        rm = project(sys_obj, q)
+        x_r = sweep(rm, CFG)
+        x_rec = np.einsum("nk,ikm->inm", q_np, np.asarray(x_r))
+        x_full = oracles.full_sweep(
+            domain, a0, a1, a2, b, *oracles.default_wave_coeffs()
+        )
+        rel = np.linalg.norm(x_rec - x_full) / np.linalg.norm(x_full)
+        assert rel < 1e-5, rel
+
+
+class TestPublicAPI:
+    def test_shape_contract(self, system):
+        domain, a0, a1, a2, b = system
+        x, q, r0, r1, r2, b_r = morfem(domain, a0, a1, a2, b, config=CFG)
+        nr = q.shape[1]
+        assert x.shape == (len(domain), nr, 2)
+        assert r0.shape == r1.shape == r2.shape == (nr, nr)
+        assert b_r.shape == (nr, 2)
+        np.testing.assert_allclose(
+            np.asarray(r0), np.asarray(q).T @ a0 @ np.asarray(q), atol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(b_r), np.asarray(q).T @ b, atol=1e-12
+        )
+
+    def test_equivalent_call_forms(self, system):
+        """reference docs/source/index.rst:52-62: (G − t²C)X = tB can be
+        phrased with the C addend in slot a1 or a2."""
+        domain, a0, a1, a2, b = system
+        g, c = a0, a2
+        zero = np.zeros_like(g)
+        x1, q1, *_ = morfem(
+            domain, g, zero, c, b, t_a2=lambda t: -(t**2), config=CFG
+        )
+        x2, q2, *_ = morfem(
+            domain, g, c, zero, b, t_a1=lambda t: -(t**2), config=CFG
+        )
+        rec1 = np.einsum("nk,ikm->inm", np.asarray(q1), np.asarray(x1))
+        rec2 = np.einsum("nk,ikm->inm", np.asarray(q2), np.asarray(x2))
+        np.testing.assert_allclose(rec1, rec2, rtol=1e-6, atol=1e-10)
+
+    def test_equally_distributed_flag(self, system):
+        domain, a0, a1, a2, b = system
+        cfg = CFG.replace(
+            use_equally_distributed=True,
+            equally_distributed_reduction_rate=0.85,
+        )
+        x, q, *_ = morfem(domain, a0, a1, a2, b, config=cfg)
+        assert q.shape[1] == len(seed_indices(len(domain), cfg)) * 2
+
+    def test_full_vs_reduced_sweep_parity(self, system, sys_obj):
+        """End-to-end acceptance: MOR solutions reconstruct the full-order
+        sweep to near working precision (BASELINE.md: ≤1e-8 target)."""
+        domain, a0, a1, a2, b = system
+        cfg = CFG.replace(error_threshold=1e-14)
+        x, q, *_ = morfem(domain, a0, a1, a2, b, config=cfg)
+        x_full = np.asarray(solve_sweep(sys_obj, cfg))
+        rec = np.einsum("nk,ikm->inm", np.asarray(q), np.asarray(x))
+        rel = np.linalg.norm(rec - x_full) / np.linalg.norm(x_full)
+        assert rel < 1e-8, rel
