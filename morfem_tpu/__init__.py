@@ -23,7 +23,12 @@ from morfem_tpu.mor.api import morfem, build_reduced_model
 from morfem_tpu.mor.reduced import ReducedModel, project, sweep
 from morfem_tpu.mor.greedy import greedy_basis, GreedyResult
 from morfem_tpu.mor.equally import equally_distributed_basis
-from morfem_tpu.mor.estimator import estimator_blocks, estimate_errors
+from morfem_tpu.mor.estimator import (
+    estimator_blocks,
+    estimate_errors,
+    estimate_errors_direct,
+    operator_images,
+)
 from morfem_tpu.ops.solve import (
     solve_point,
     solve_batch,
@@ -48,6 +53,8 @@ __all__ = [
     "equally_distributed_basis",
     "estimator_blocks",
     "estimate_errors",
+    "estimate_errors_direct",
+    "operator_images",
     "solve_point",
     "solve_batch",
     "solve_sweep",

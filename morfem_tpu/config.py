@@ -49,6 +49,16 @@ class MorfemConfig:
       symmetrize: apply the reference's `(A + Aᵀ)/2` symmetrization when
         assembling system matrices (reference: implementation.py:528). Kept on
         by default for result parity.
+      estimator: "direct" (default) — evaluate the residual norm per domain
+        point directly from U_p = A_p·Q as one batched einsum. The
+        reference's 16-Gram-block expansion (implementation.py:348-452,
+        kept as "gram") squares the operator scale before cancelling, so
+        its accuracy floor is ~‖A‖²·ε; on TPU's emulated f64 that floor
+        rises above practical thresholds. The direct form cancels at the
+        residual-vector level (floor ~(‖b‖·ε)²) and is cheaper per greedy
+        iteration anyway (no 9 K²-sized Gram contractions).
+      estimator_chunk: domain points per chunk in the direct estimator
+        (bounds the [chunk, N, M] residual intermediate in HBM).
       dependency_tolerance: greedy stagnation guard. A new snapshot is only
         appended if, after projecting out the current basis, at least one of
         its columns retains more than this fraction of its norm. When the
@@ -72,8 +82,14 @@ class MorfemConfig:
     use_pallas_reduced_sweep: bool = False
     symmetrize: bool = True
     dependency_tolerance: float = 1e-12
+    estimator: str = "direct"
+    estimator_chunk: int = 1024
 
     def __post_init__(self):
+        if self.estimator not in ("direct", "gram"):
+            raise ValueError(
+                f"estimator must be 'direct' or 'gram', got {self.estimator!r}"
+            )
         if self.orthonormalization not in ("svd", "mgs"):
             raise ValueError(
                 f"orthonormalization must be 'svd' or 'mgs', got "

@@ -60,6 +60,20 @@ class EstimatorBlocks(NamedTuple):
     bb: jax.Array
 
 
+def operator_images(
+    sys: AffineSystem, q: jax.Array, ncols: jax.Array
+) -> jax.Array:
+    """U_p = A_p·Q for the masked padded basis — [3, N, K].
+
+    The shared intermediate of both estimators and the projection: three
+    [N,N]×[N,K] MXU matmuls. Inactive basis columns are exactly zero, so
+    the corresponding U columns vanish and no further masking is needed.
+    """
+    mask = column_mask(q.shape[1], ncols, q.dtype)
+    qm = q * mask
+    return jnp.stack([a @ qm for a in sys.operators()])
+
+
 def estimator_blocks(
     sys: AffineSystem, q: jax.Array, ncols: jax.Array
 ) -> Tuple[EstimatorBlocks, jax.Array]:
@@ -71,9 +85,7 @@ def estimator_blocks(
 
     Returns (blocks, u) with u shaped [3, N, K].
     """
-    mask = column_mask(q.shape[1], ncols, q.dtype)
-    qm = q * mask
-    u = jnp.stack([a @ qm for a in sys.operators()])  # [3, N, K]
+    u = operator_images(sys, q, ncols)
     g = jnp.einsum("ink,jnl->ijkl", u.conj(), u)
     gb = jnp.einsum("ink,nm->ikm", u.conj(), sys.b)
     bb = sys.b.conj().T @ sys.b
@@ -104,17 +116,92 @@ def estimate_errors(
     a, rhs = assemble_reduced(rm, rm.domain, config)
     x = solve_reduced_batch(a, rhs, config)  # [I, K, M]
 
+    # Balance the double coefficient products. TPU's emulated f64 keeps the
+    # f32 exponent range (~3.4e38): for a 5 GHz sweep the pair product
+    # c_2·c_2 = (f²)² ≈ 6e38 overflows even though every TERM
+    # c_p·c_q·G_pq has a modest physical value (the Gram blocks carry the
+    # inverse scale). Normalizing c by per-operator maxima and folding the
+    # scales into G one factor at a time keeps all intermediates in range.
+    s = jnp.maximum(jnp.max(jnp.abs(c), axis=0), 1e-300)  # [3]
+    sb = jnp.maximum(jnp.max(jnp.abs(cb)), 1e-300)
+    cn = c / s
+    cbn = cb / sb
+    g_bal = (blocks.g * s[:, None, None, None]) * s[None, :, None, None]
+    gb_bal = (blocks.gb * s[:, None, None]) * sb
+    bb_bal = blocks.bb * (sb * sb)
+
     # z[i] = Σ_{pq} c_p c_q G_pq  → [I, K, K]
-    z = jnp.einsum("ip,iq,pqkl->ikl", c, c, blocks.g)
+    z = jnp.einsum("ip,iq,pqkl->ikl", cn, cn, g_bal)
     t1 = jnp.einsum("ikm,ikl,iln->imn", x.conj(), z, x)
     # gv[i] = Σ_p c_p c_b gb_p → [I, K, M]
-    gv = jnp.einsum("ip,i,pkm->ikm", c, cb, blocks.gb)
+    gv = jnp.einsum("ip,i,pkm->ikm", cn, cbn, gb_bal)
     t2 = jnp.einsum("ikm,ikn->imn", x.conj(), gv)
     # t3 = Σ_p c_b c_p gb_pᴴ x  (≡ t2ᴴ when coefficients are real)
-    t3 = jnp.einsum("ip,i,pkm,ikn->imn", c, cb, blocks.gb.conj(), x)
-    t4 = (cb * cb)[:, None, None] * blocks.bb
+    t3 = jnp.einsum("ip,i,pkm,ikn->imn", cn, cbn, gb_bal.conj(), x)
+    t4 = (cbn * cbn)[:, None, None] * bb_bal
     e = t1 - t2 - t3 + t4
     err = jnp.sqrt(jnp.sum(jnp.abs(e) ** 2, axis=(-1, -2)))
+    return err, x
+
+
+def estimate_errors_direct(
+    rm: ReducedModel,
+    u: jax.Array,
+    b: jax.Array,
+    config: MorfemConfig = DEFAULT_CONFIG,
+) -> Tuple[jax.Array, jax.Array]:
+    """Residual-norm estimate per domain point, evaluated directly.
+
+    Computes the same quantity as the Gram-block estimator —
+    err(t) = ‖R(t)ᴴR(t)‖_F with R = Σ_p c_p·U_p·x_r − c_b·B and
+    U_p = A_p·Q — but by forming the [N, M] residual itself instead of the
+    reference's 16-term quadratic expansion (implementation.py:414-441).
+
+    Why this is the TPU-native default: the quadratic expansion subtracts
+    O(‖A‖²·‖x‖²) terms that cancel to O(err²), so its accuracy floor is
+    ‖A‖²·ε — on TPU's emulated float64 (whose effective ε in large
+    contractions is well above 1e-16) that floor can exceed the greedy
+    threshold, silently stopping refinement early. The direct form
+    subtracts once at the residual-vector level (A·Q·x_r ≈ b entrywise), so
+    the floor is (ε·‖b‖)² per point. Cost: one [I, N, M]-shaped batched
+    einsum per greedy iteration — trivial on the MXU and cheaper than the
+    9 K²-sized Gram contractions it replaces.
+
+    Args:
+      rm: reduced model (padded).
+      u: [3, N, K] stack U_p = A_p·Q from `estimator_blocks` / projection.
+      b: [N, M] impulse part.
+
+    Returns:
+      (err [I], x_r [I, K, M]).
+    """
+    c, cb = rm.coefficients(rm.domain)  # [I, 3], [I]
+    a, rhs = assemble_reduced(rm, rm.domain, config)
+    x = solve_reduced_batch(a, rhs, config)  # [I, K, M]
+
+    i_pts = c.shape[0]
+    chunk = max(1, min(config.estimator_chunk, i_pts))
+    pad = (-i_pts) % chunk
+
+    def pad0(arr):
+        widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+        return jnp.pad(arr, widths)
+
+    c_ch = pad0(c).reshape((-1, chunk, 3))
+    cb_ch = pad0(cb).reshape((-1, chunk))
+    x_ch = pad0(x).reshape((-1, chunk) + x.shape[1:])
+
+    def chunk_err(args):
+        cc, cbc, xc = args
+        # R = Σ_p c_p·(U_p @ x) − c_b·B   → [chunk, N, M]
+        ux = jnp.einsum("pnk,ikm->pinm", u, xc)
+        r = jnp.einsum("ip,pinm->inm", cc, ux) - cbc[:, None, None] * b
+        # err = ‖RᴴR‖_F  (reference norm semantics, implementation.py:424)
+        rhr = jnp.einsum("inm,inl->iml", r.conj(), r)
+        return jnp.sqrt(jnp.sum(jnp.abs(rhr) ** 2, axis=(-1, -2)))
+
+    err = jax.lax.map(chunk_err, (c_ch, cb_ch, x_ch))
+    err = err.reshape(-1)[:i_pts]
     return err, x
 
 

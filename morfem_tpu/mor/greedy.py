@@ -28,7 +28,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from morfem_tpu.config import MorfemConfig, DEFAULT_CONFIG
-from morfem_tpu.mor.estimator import estimate_errors, estimator_blocks
+from morfem_tpu.mor.estimator import (
+    estimate_errors,
+    estimate_errors_direct,
+    estimator_blocks,
+    operator_images,
+)
 from morfem_tpu.mor.reduced import ReducedModel
 from morfem_tpu.ops.orthonormalize import (
     column_mask,
@@ -123,9 +128,14 @@ def greedy_basis(
         return jnp.logical_and(~s.done, s.it <= max_iters)
 
     def body(s: GreedyState):
-        blocks, u = estimator_blocks(sys, s.q, s.ncols)
-        rm = _reduced_from_u(sys, s.q, s.ncols, u)
-        err, _ = estimate_errors(rm, blocks, config)
+        if config.estimator == "gram":
+            blocks, u = estimator_blocks(sys, s.q, s.ncols)
+            rm = _reduced_from_u(sys, s.q, s.ncols, u)
+            err, _ = estimate_errors(rm, blocks, config)
+        else:
+            u = operator_images(sys, s.q, s.ncols)
+            rm = _reduced_from_u(sys, s.q, s.ncols, u)
+            err, _ = estimate_errors_direct(rm, u, sys.b, config)
         err_hist = s.err_hist.at[s.it].set(err)
         err_max = jnp.max(err)
         converged = err_max < config.error_threshold

@@ -96,6 +96,37 @@ def lu_solve_refined(
     return x
 
 
+def inv_refined(
+    a: jax.Array,
+    *,
+    factor_dtype=jnp.float32,
+    refine_iterations: int = 2,
+) -> jax.Array:
+    """Matrix inverse via mixed-precision LU + refinement (batched).
+
+    ``jnp.linalg.inv`` lowers to an LU decomposition, which TPU only
+    implements for f32/c64 — this routine keeps f64 accuracy on TPU the
+    same way `lu_solve_refined` does. Supports leading batch axes.
+    """
+    work_dtype = a.dtype
+    factor_dtype = jnp.dtype(factor_dtype)
+    eye = jnp.broadcast_to(
+        jnp.eye(a.shape[-1], dtype=work_dtype), a.shape
+    )
+    lu, piv = jsl.lu_factor(a.astype(factor_dtype))
+    x = jsl.lu_solve((lu, piv), eye.astype(factor_dtype)).astype(work_dtype)
+    if refine_iterations > 0 and (
+        jnp.finfo(work_dtype).bits > jnp.finfo(factor_dtype).bits
+    ):
+        def body(_, x):
+            r = eye - a @ x
+            d = jsl.lu_solve((lu, piv), r.astype(factor_dtype))
+            return x + d.astype(work_dtype)
+
+        x = lax.fori_loop(0, refine_iterations, body, x)
+    return x
+
+
 def solve_point(
     sys: AffineSystem,
     t: jax.Array,

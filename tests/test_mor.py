@@ -72,6 +72,51 @@ class TestEstimator:
         )
         np.testing.assert_allclose(np.asarray(err), err_ref, rtol=1e-6, atol=1e-12)
 
+    def test_direct_estimator_matches_gram_estimator(self, system, sys_obj):
+        """Both estimators compute ‖RᴴR‖_F; in CPU f64 they must agree to
+        the Gram path's cancellation floor."""
+        from morfem_tpu.mor.estimator import estimate_errors_direct
+        from morfem_tpu import project
+
+        domain, a0, a1, a2, b = system
+        snaps = np.concatenate(
+            [
+                oracles.solve_point(
+                    domain[j], a0, a1, a2, b, *oracles.default_wave_coeffs()
+                )
+                for j in (0, 39)
+            ],
+            axis=1,
+        )
+        q_active = np.linalg.svd(snaps, full_matrices=False)[0]
+        k = 8
+        q = (
+            jnp.zeros((a0.shape[0], k), dtype=jnp.float64)
+            .at[:, :4]
+            .set(q_active)
+        )
+        ncols = jnp.asarray(4)
+        blocks, u = estimator_blocks(sys_obj, q, ncols)
+        rm = project(sys_obj, q * (jnp.arange(k) < ncols), ncols)
+        err_gram, _ = estimate_errors(rm, blocks, CFG)
+        err_direct, _ = estimate_errors_direct(
+            rm, u, sys_obj.b, CFG.replace(estimator_chunk=7)
+        )
+        # atol = the gram path's cancellation floor (it reports ~1e-13 at
+        # points where the true residual is ~0; the direct path reports the
+        # true ~1e-28 there)
+        np.testing.assert_allclose(
+            np.asarray(err_direct), np.asarray(err_gram), rtol=1e-5, atol=5e-12
+        )
+
+    def test_greedy_direct_vs_gram_same_result(self, system, sys_obj):
+        res_d = greedy_basis(sys_obj, CFG.replace(estimator="direct"))
+        res_g = greedy_basis(sys_obj, CFG.replace(estimator="gram"))
+        assert int(res_d.ncols) == int(res_g.ncols)
+        np.testing.assert_allclose(
+            np.asarray(res_d.q), np.asarray(res_g.q), atol=1e-8
+        )
+
     def test_blocks_reduce_to_expected_contractions(self, system, sys_obj):
         domain, a0, a1, a2, b = system
         q_active = np.linalg.qr(np.random.default_rng(0).normal(size=(64, 3)))[0]
