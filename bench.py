@@ -1,0 +1,164 @@
+"""Benchmark: reduced-sweep speedup vs the full-order FEM sweep.
+
+Measures, on the real device (TPU when available):
+
+  1. full-order sweep wall time over the waveguide frequency grid — the
+     "No MOR" baseline (reference mechanism: test_helpers.py:39-41),
+  2. steady-state reduced-model sweep time on the same grid,
+  3. headline = speedup (1)/(2); BASELINE.md target is ≥50×,
+  4. side metrics (stderr): MOR accuracy vs the full-order oracle, basis
+     size, dense-grid throughput (points/sec on a 10k-point re-sweep,
+     BASELINE config 2), and basis-build time.
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from morfem_tpu import MorfemConfig, greedy_basis, project  # noqa: E402
+from morfem_tpu.apps.waveguide import (  # noqa: E402
+    gim_real,
+    gsm_from_y,
+    load_waveguide_data,
+    waveguide_system,
+)
+from morfem_tpu.mor.reduced import assemble_reduced, solve_reduced_batch  # noqa: E402
+from morfem_tpu.ops.solve import solve_sweep  # noqa: E402
+
+BASELINE_TARGET_SPEEDUP = 50.0  # BASELINE.md: >=50x on one TPU chip
+
+N_DOF = int(os.environ.get("BENCH_N", 3411))
+N_POINTS = int(os.environ.get("BENCH_POINTS", 100))
+DENSE_POINTS = int(os.environ.get("BENCH_DENSE_POINTS", 10000))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    log(f"device: {jax.devices()[0]}")
+    data = load_waveguide_data(
+        n_fallback=N_DOF,
+        cache_dir=os.path.join(REPO, "data", "synthetic_cache"),
+    )
+    freq = np.linspace(3e9, 5e9, N_POINTS)
+    sys_ = waveguide_system(freq, data)
+    cfg = MorfemConfig(solve_chunk=4)
+    log(f"N={sys_.n} M={sys_.m} I={N_POINTS} (synthetic={data.synthetic})")
+
+    # ---- full-order baseline: AOT-compile, then time the execution ----
+    full_fn = jax.jit(lambda s: solve_sweep(s, cfg)).lower(sys_).compile()
+    t0 = time.perf_counter()
+    x_full = full_fn(sys_)
+    jax.block_until_ready(x_full)
+    t_full = time.perf_counter() - t0
+    log(f"full-order sweep ({N_POINTS} pts): {t_full:.3f} s")
+
+    # ---- reduced model build (greedy): compile and run timed apart ----
+
+    t0 = time.perf_counter()
+    greedy_fn = (
+        jax.jit(lambda s: greedy_basis(s, cfg)).lower(sys_).compile()
+    )
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    greedy = greedy_fn(sys_)
+    jax.block_until_ready(greedy.q)
+    t_build = time.perf_counter() - t0
+    rm = project(sys_, greedy.q, greedy.ncols).trim()
+    nr = rm.q.shape[1]
+    log(f"basis build: {t_build:.3f} s run + {t_compile:.1f} s compile "
+        f"(Nr={nr}, iters={int(greedy.iterations)})")
+
+    # ---- steady-state reduced sweep on the same grid ----
+    def reduced_sweep(rm, ts):
+        a, rhs = assemble_reduced(rm, ts, cfg)
+        return solve_reduced_batch(a, rhs, cfg)
+
+    ts = jnp.asarray(freq)
+    red_fn = jax.jit(reduced_sweep).lower(rm, ts).compile()
+    x_r = red_fn(rm, ts)
+    jax.block_until_ready(x_r)  # warm
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        x_r = red_fn(rm, ts)
+    jax.block_until_ready(x_r)
+    t_reduced = (time.perf_counter() - t0) / reps
+    log(f"reduced sweep ({N_POINTS} pts): {t_reduced*1e3:.3f} ms")
+
+    speedup = t_full / t_reduced
+
+    # ---- accuracy vs the full-order oracle ----
+    rec = jnp.einsum("nk,ikm->inm", rm.q, x_r)
+    rel = float(jnp.linalg.norm(rec - x_full) / jnp.linalg.norm(x_full))
+    _, cb = sys_.coefficients(sys_.domain)
+    y_ref = gim_real(sys_.domain, x_full, cb[:, None, None] * sys_.b)
+    y_mor = gim_real(sys_.domain, x_r, cb[:, None, None] * rm.b_r)
+    g_ref = gsm_from_y(y_ref)
+    g_mor = gsm_from_y(y_mor)
+    gsm_err = float(
+        jnp.max(
+            jnp.sqrt(
+                jnp.sum(
+                    (g_mor[0] - g_ref[0]) ** 2 + (g_mor[1] - g_ref[1]) ** 2,
+                    axis=(-1, -2),
+                )
+            )
+        )
+    )
+    log(f"solution rel error vs full-order: {rel:.3e}")
+    log(f"GSM error max: {gsm_err:.3e}")
+
+    # ---- dense-grid throughput (config 2) ----
+    dense = jnp.linspace(freq[0], freq[-1], DENSE_POINTS)
+    dense_fn = jax.jit(reduced_sweep).lower(rm, dense).compile()
+    jax.block_until_ready(dense_fn(rm, dense))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        xd = dense_fn(rm, dense)
+    jax.block_until_ready(xd)
+    t_dense = (time.perf_counter() - t0) / 5
+    log(f"dense re-sweep ({DENSE_POINTS} pts): {t_dense*1e3:.1f} ms "
+        f"({DENSE_POINTS/t_dense:,.0f} points/s)")
+
+    result = {
+        "metric": "reduced_sweep_speedup_vs_full_order",
+        "value": round(speedup, 2),
+        "unit": "x",
+        "vs_baseline": round(speedup / BASELINE_TARGET_SPEEDUP, 3),
+        "extras": {
+            "n_dof": int(sys_.n),
+            "grid_points": N_POINTS,
+            "basis_size": int(nr),
+            "full_order_sweep_s": round(t_full, 4),
+            "reduced_sweep_ms": round(t_reduced * 1e3, 4),
+            "basis_build_s": round(t_build, 3),
+            "greedy_compile_s": round(t_compile, 1),
+            "solution_rel_error": rel,
+            "gsm_error_max": gsm_err,
+            "dense_points_per_s": round(DENSE_POINTS / t_dense),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,7 @@ from morfem_tpu.ops.solve import (
     lu_solve_refined,
 )
 from morfem_tpu.utils.timing import PhaseTimer
+from morfem_tpu.utils.checkpoint import save_reduced_model, load_reduced_model
 
 __version__ = "0.1.0"
 
@@ -60,4 +61,6 @@ __all__ = [
     "solve_sweep",
     "lu_solve_refined",
     "PhaseTimer",
+    "save_reduced_model",
+    "load_reduced_model",
 ]

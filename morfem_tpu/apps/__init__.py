@@ -1,0 +1,1 @@
+"""Application layers: the waveguide example and parameter studies."""

@@ -1,0 +1,172 @@
+"""Sparse operators (BCOO) and iterative solvers for very large N.
+
+The reference keeps operators in SciPy CSC and solves with the sparse
+direct `splu` (implementation.py:474-476). TPU has no sparse direct
+factorization; this framework's scaling story for N beyond dense-LU reach
+(~30k DOF dense f32 LU ≈ 3.6 GB per factorization) is:
+
+  * operators as `jax.experimental.sparse` BCOO (COO blocks — the TPU
+    sparse format; SpMV/SpMM lower to gather/segment-sum),
+  * Jacobi-preconditioned Krylov solves (BiCGStab default — the swept
+    system C − k²T is symmetric but indefinite near resonances, so plain
+    CG is not safe; GMRES available for tougher spectra),
+  * the same snapshot → projection → reduced-sweep pipeline on top: the
+    estimator and projection already only need operator *applications*
+    (U_p = A_p·Q), which are SpMM here.
+
+N-axis sharding of the SpMM composes with `shard_map` the same way the
+dense path does (`morfem_tpu.parallel.sharded`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import sparse as jsparse
+
+from morfem_tpu.config import MorfemConfig, DEFAULT_CONFIG
+from morfem_tpu.system import AffineSystem
+
+
+def to_bcoo(a, dtype=None, nse: Optional[int] = None) -> jsparse.BCOO:
+    """Convert dense / SciPy sparse to BCOO."""
+    if isinstance(a, jsparse.BCOO):
+        return a
+    if hasattr(a, "tocoo"):  # SciPy sparse
+        coo = a.tocoo()
+        data = jnp.asarray(coo.data, dtype)
+        idx = jnp.stack(
+            [jnp.asarray(coo.row), jnp.asarray(coo.col)], axis=1
+        ).astype(jnp.int32)
+        return jsparse.BCOO((data, idx), shape=coo.shape)
+    return jsparse.BCOO.fromdense(jnp.asarray(a, dtype), nse=nse)
+
+
+class SparseAffineOperator:
+    """A(t)·x applications for BCOO operator addends.
+
+    Mirrors `system_matrix` (implementation.py:526-528) as a matrix-free
+    operator: symmetrization (A+Aᵀ)/2 is applied per-matvec using the
+    transposed SpMM, so no symmetrized matrix is ever materialized.
+    """
+
+    def __init__(self, a0, a1, a2, symmetrize: bool = True):
+        self.ops = (to_bcoo(a0), to_bcoo(a1), to_bcoo(a2))
+        self.ops_t = tuple(op.T for op in self.ops) if symmetrize else None
+        self.symmetrize = symmetrize
+
+    def matvec(self, c: jax.Array, x: jax.Array) -> jax.Array:
+        """y = A(t)·x with coefficients c = [c0, c1, c2]; x [N] or [N, M]."""
+        y = jnp.zeros_like(x)
+        for p, op in enumerate(self.ops):
+            y = y + c[p] * (op @ x)
+        if self.symmetrize:
+            yt = jnp.zeros_like(x)
+            for p, op_t in enumerate(self.ops_t):
+                yt = yt + c[p] * (op_t @ x)
+            y = (y + yt) * 0.5
+        return y
+
+    def diagonal(self, c: jax.Array) -> jax.Array:
+        """diag(A(t)) for the Jacobi preconditioner."""
+        n = self.ops[0].shape[0]
+        diags = []
+        for op in self.ops:
+            rows, cols = op.indices[:, 0], op.indices[:, 1]
+            d = jnp.zeros((n,), op.data.dtype).at[rows].add(
+                jnp.where(rows == cols, op.data, 0.0)
+            )
+            diags.append(d)
+        return c[0] * diags[0] + c[1] * diags[1] + c[2] * diags[2]
+
+
+def solve_point_iterative(
+    op: SparseAffineOperator,
+    c: jax.Array,  # [3] coefficients at this point
+    rhs: jax.Array,  # [N, M]
+    tol: float = 1e-10,
+    maxiter: int = 2000,
+    method: str = "bicgstab",
+) -> jax.Array:
+    """Matrix-free solve of A(t)·x = rhs — the large-N snapshot path.
+
+    Jacobi-preconditioned BiCGStab/GMRES per right-hand-side column
+    (columns vmapped). Replaces `splu` (implementation.py:474-476) where
+    dense LU no longer fits.
+    """
+    diag = op.diagonal(c)
+    safe = jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)
+
+    def mv(x):
+        return op.matvec(c, x)
+
+    def precond(x):
+        return x / safe
+
+    def solve_col(b_col):
+        if method == "gmres":
+            x, _ = jax.scipy.sparse.linalg.gmres(
+                mv, b_col, tol=tol, maxiter=maxiter, M=precond,
+                solve_method="batched",
+            )
+        else:
+            x, _ = jax.scipy.sparse.linalg.bicgstab(
+                mv, b_col, tol=tol, maxiter=maxiter, M=precond
+            )
+        return x
+
+    return jax.vmap(solve_col, in_axes=1, out_axes=1)(rhs)
+
+
+def sparse_snapshot_basis(
+    a0,
+    a1,
+    a2,
+    b: jax.Array,
+    domain: jax.Array,
+    seed_indices: jax.Array,
+    coeffs,
+    config: MorfemConfig = DEFAULT_CONFIG,
+    tol: float = 1e-10,
+    method: str = "bicgstab",
+) -> jax.Array:
+    """Equally-distributed snapshot basis with iterative large-N solves.
+
+    Returns the orthonormal basis q [N, S·M]. The downstream projection /
+    reduced sweep reuse the dense pipeline (the reduced model is dense and
+    tiny regardless of N).
+    """
+    from morfem_tpu.ops.orthonormalize import orthonormalize_svd
+
+    t_a0, t_a1, t_a2, t_b = coeffs
+    op = SparseAffineOperator(a0, a1, a2, symmetrize=config.symmetrize)
+    ts = domain[seed_indices]
+    snaps = []
+    for i in range(ts.shape[0]):
+        t = ts[i]
+        c = jnp.stack(
+            [
+                jnp.asarray(t_a0(t), dtype=b.dtype),
+                jnp.asarray(t_a1(t), dtype=b.dtype),
+                jnp.asarray(t_a2(t), dtype=b.dtype),
+            ]
+        )
+        rhs = jnp.asarray(t_b(t), dtype=b.dtype) * b
+        snaps.append(
+            solve_point_iterative(op, c, rhs, tol=tol, method=method)
+        )
+    q = jnp.concatenate(snaps, axis=1)
+    return orthonormalize_svd(q)
+
+
+def sparse_project(a0, a1, a2, b, q: jax.Array):
+    """Galerkin projection with SpMM images — r_p = Qᴴ·(A_p·Q), b_r = Qᴴ·B."""
+    ops = (to_bcoo(a0), to_bcoo(a1), to_bcoo(a2))
+    qh = q.conj().T
+    rs = tuple(qh @ (op @ q) for op in ops)
+    b_r = qh @ jnp.asarray(b)
+    return rs, b_r
