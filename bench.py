@@ -25,6 +25,18 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the greedy while_loop at N=3411 takes
+# minutes to compile (remote TPU compile); cache it across processes.
+_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+)
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # older jax without these flags
+    pass
+
 import jax.numpy as jnp  # noqa: E402
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -77,6 +89,8 @@ def main():
         jax.jit(lambda s: greedy_basis(s, cfg)).lower(sys_).compile()
     )
     t_compile = time.perf_counter() - t0
+    greedy = greedy_fn(sys_)
+    np.asarray(greedy.q)  # warm-up run, fully host-synced
     t0 = time.perf_counter()
     greedy = greedy_fn(sys_)
     jax.block_until_ready(greedy.q)

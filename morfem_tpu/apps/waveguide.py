@@ -397,3 +397,15 @@ def mor_gsm(
             rm.domain, x_r, cb[:, None, None] * rm.b_r
         )
     return gsm, rm, greedy_result
+
+
+def equally_distributed_points(source, amount: int):
+    """Evenly spaced subset of a grid — counterpart of the reference helper
+    (test_helpers.py:17-22), including its bounds check."""
+    source = jnp.asarray(source)
+    if amount > source.shape[0]:
+        raise ValueError(
+            "amount can't be greater than the number of points in the source"
+        )
+    idx = np.linspace(0, source.shape[0] - 1, amount).astype(int)
+    return source[jnp.asarray(idx)]

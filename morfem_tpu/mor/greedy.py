@@ -61,9 +61,16 @@ class GreedyResult(NamedTuple):
     err_hist: jax.Array  # [max_iters + 1, I]; rows ≥ iterations are zero
 
 
-def max_basis_columns(m: int, config: MorfemConfig) -> int:
-    """Static padded basis width: 2 seed snapshots + one per greedy iter."""
-    return (2 + config.max_greedy_iterations) * m
+def max_basis_columns(m: int, config: MorfemConfig, n: int | None = None) -> int:
+    """Static padded basis width: 2 seed snapshots + one per greedy iter.
+
+    Clamped to N — a basis can never exceed N independent columns, and a
+    padded buffer wider than N would break the thin-SVD orthonormalization.
+    """
+    k = (2 + config.max_greedy_iterations) * m
+    if n is not None:
+        k = min(k, n)
+    return max(k, 2 * m)
 
 
 def _reduced_from_u(
@@ -102,7 +109,7 @@ def greedy_basis(
     """
     m = sys.m
     n = sys.n
-    k = max_basis_columns(m, config)
+    k = max_basis_columns(m, config, n)
     i = sys.num_points
     max_iters = config.max_greedy_iterations
     dtype = sys.dtype

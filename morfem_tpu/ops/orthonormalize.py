@@ -52,9 +52,11 @@ def orthonormalize_svd_masked(
     `ncols` left singular vectors span exactly the active columns' space.
     The result is re-masked so inactive columns are exactly zero again.
     """
-    k = q.shape[1]
+    n, k = q.shape
     mask = column_mask(k, ncols, q.dtype)
     u = jnp.linalg.svd(q * mask, full_matrices=False)[0]
+    if u.shape[1] < k:  # K > N: thin SVD returns [N, N]; restore padding
+        u = jnp.pad(u, ((0, 0), (0, k - u.shape[1])))
     return u * mask
 
 
