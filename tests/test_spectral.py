@@ -1,0 +1,99 @@
+"""Tests for the spectral (diagonalized) two-term sweep."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from morfem_tpu import MorfemConfig, build_reduced_model
+from morfem_tpu.apps.waveguide import load_waveguide_data, waveguide_system
+from morfem_tpu.mor.reduced import sweep
+from morfem_tpu.mor.spectral import prepare_spectral, spectral_sweep
+from morfem_tpu.utils.synthetic import random_affine_system
+from morfem_tpu.system import AffineSystem
+
+CFG = MorfemConfig(factor_dtype_name="float64", refine_iterations=0)
+
+
+@pytest.fixture(scope="module")
+def waveguide_rm():
+    data = load_waveguide_data(n_fallback=160)
+    freq = np.linspace(3e9, 5e9, 50)
+    sys_ = waveguide_system(freq, data)
+    rm, _ = build_reduced_model(sys_, CFG.replace(error_threshold=1e-10))
+    return sys_, rm  # padded reduced model
+
+
+class TestSpectral:
+    def test_matches_lu_sweep_padded(self, waveguide_rm):
+        sys_, rm = waveguide_rm
+        sm = prepare_spectral(rm, CFG)
+        x_spec = spectral_sweep(sm)
+        x_lu = sweep(rm, CFG)
+        rel = np.linalg.norm(np.asarray(x_spec - x_lu)) / np.linalg.norm(
+            np.asarray(x_lu)
+        )
+        assert rel < 1e-10, rel
+
+    def test_matches_lu_sweep_trimmed(self, waveguide_rm):
+        sys_, rm = waveguide_rm
+        rmt = rm.trim()
+        sm = prepare_spectral(rmt, CFG)
+        x_spec = spectral_sweep(sm, rmt.domain)
+        x_lu = sweep(rmt, CFG)
+        rel = np.linalg.norm(np.asarray(x_spec - x_lu)) / np.linalg.norm(
+            np.asarray(x_lu)
+        )
+        assert rel < 1e-10, rel
+
+    def test_dense_regrid(self, waveguide_rm):
+        """Re-sweeping an arbitrary denser grid must agree with LU."""
+        sys_, rm = waveguide_rm
+        rmt = rm.trim()
+        sm = prepare_spectral(rmt, CFG)
+        dense = jnp.linspace(3.1e9, 4.9e9, 777)
+        x_spec = spectral_sweep(sm, dense)
+        x_lu = sweep(rmt, CFG, ts=dense)
+        rel = np.linalg.norm(np.asarray(x_spec - x_lu)) / np.linalg.norm(
+            np.asarray(x_lu)
+        )
+        assert rel < 1e-10, rel
+
+    def test_rejects_three_term_pencil(self):
+        key = jax.random.PRNGKey(0)
+        domain, a0, a1, a2, b = random_affine_system(key, n=32, m=2, num_points=8)
+        sys_ = AffineSystem.create(domain, a0, a1, a2, b)
+        from morfem_tpu import equally_distributed_basis, project
+
+        q = equally_distributed_basis(sys_, CFG, count=3)
+        rm = project(sys_, q)
+        with pytest.raises(ValueError, match="two-term"):
+            prepare_spectral(rm, CFG)
+
+    def test_swapped_spd_role(self):
+        """Pencil where R0 (not R2) is the definite term."""
+        rng = np.random.default_rng(0)
+        k = 10
+        r0 = rng.normal(size=(k, k))
+        r0 = r0 @ r0.T + np.eye(k)  # SPD
+        r2 = rng.normal(size=(k, k))
+        r2 = (r2 + r2.T) / 2  # symmetric indefinite
+        b_r = rng.normal(size=(k, 2))
+        from morfem_tpu.mor.reduced import ReducedModel
+
+        dom = jnp.linspace(0.0, 0.4, 20)  # keep A(t) nonsingular
+        rm = ReducedModel(
+            domain=dom, q=jnp.eye(k), r0=jnp.asarray(r0),
+            r1=jnp.zeros((k, k)), r2=jnp.asarray(r2),
+            b_r=jnp.asarray(b_r), ncols=jnp.asarray(k),
+            t_a0=lambda t: jnp.ones_like(t), t_a1=lambda t: t,
+            t_a2=lambda t: t**2, t_b=lambda t: jnp.ones_like(t),
+        )
+        sm = prepare_spectral(rm, CFG)
+        assert bool(sm.swapped)
+        x_spec = spectral_sweep(sm)
+        x_lu = sweep(rm, CFG)
+        rel = np.linalg.norm(np.asarray(x_spec - x_lu)) / np.linalg.norm(
+            np.asarray(x_lu)
+        )
+        assert rel < 1e-10, rel
