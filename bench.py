@@ -78,7 +78,7 @@ def main():
     full_fn = jax.jit(lambda s: solve_sweep(s, cfg)).lower(sys_).compile()
     t0 = time.perf_counter()
     x_full = full_fn(sys_)
-    jax.block_until_ready(x_full)
+    float(jnp.sum(x_full))  # scalar readback: the only reliable device sync
     t_full = time.perf_counter() - t0
     log(f"full-order sweep ({N_POINTS} pts): {t_full:.3f} s")
 
@@ -93,7 +93,7 @@ def main():
     np.asarray(greedy.q)  # warm-up run, fully host-synced
     t0 = time.perf_counter()
     greedy = greedy_fn(sys_)
-    jax.block_until_ready(greedy.q)
+    float(jnp.sum(greedy.q))  # readback sync (block_until_ready lies here)
     t_build = time.perf_counter() - t0
     rm = project(sys_, greedy.q, greedy.ncols).trim()
     nr = rm.q.shape[1]
@@ -101,20 +101,27 @@ def main():
         f"(Nr={nr}, iters={int(greedy.iterations)})")
 
     # ---- steady-state reduced sweep on the same grid ----
+    # Timing synchronizes via a scalar readback: on the axon platform,
+    # block_until_ready alone can report absurdly fast times. Inputs vary
+    # per rep to defeat any transparent result caching.
+    def timed(fn, grids, reps):
+        float(jnp.sum(fn(grids[0])))  # warm + sync
+        t0 = time.perf_counter()
+        for i in range(reps):
+            float(jnp.sum(fn(grids[(1 + i) % len(grids)])))
+        return (time.perf_counter() - t0) / reps
+
     def reduced_sweep(rm, ts):
         a, rhs = assemble_reduced(rm, ts, cfg)
         return solve_reduced_batch(a, rhs, cfg)
 
     ts = jnp.asarray(freq)
-    red_fn = jax.jit(reduced_sweep).lower(rm, ts).compile()
+    red_fn = jax.jit(reduced_sweep)
+    grids_i = [
+        jnp.asarray(freq) + i * (freq[1] - freq[0]) * 1e-3 for i in range(8)
+    ]
+    t_reduced = timed(lambda g: red_fn(rm, g), grids_i, reps=7)
     x_r = red_fn(rm, ts)
-    jax.block_until_ready(x_r)  # warm
-    reps = 20
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        x_r = red_fn(rm, ts)
-    jax.block_until_ready(x_r)
-    t_reduced = (time.perf_counter() - t0) / reps
     log(f"reduced sweep ({N_POINTS} pts): {t_reduced*1e3:.3f} ms")
 
     speedup = t_full / t_reduced
@@ -140,17 +147,27 @@ def main():
     log(f"solution rel error vs full-order: {rel:.3e}")
     log(f"GSM error max: {gsm_err:.3e}")
 
-    # ---- dense-grid throughput (config 2) ----
-    dense = jnp.linspace(freq[0], freq[-1], DENSE_POINTS)
-    dense_fn = jax.jit(reduced_sweep).lower(rm, dense).compile()
-    jax.block_until_ready(dense_fn(rm, dense))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        xd = dense_fn(rm, dense)
-    jax.block_until_ready(xd)
-    t_dense = (time.perf_counter() - t0) / 5
-    log(f"dense re-sweep ({DENSE_POINTS} pts): {t_dense*1e3:.1f} ms "
-        f"({DENSE_POINTS/t_dense:,.0f} points/s)")
+    # ---- dense-grid throughput (config 2): LU path and spectral path ----
+    from morfem_tpu.mor.spectral import prepare_spectral, spectral_sweep
+
+    dense_grids = [
+        jnp.linspace(freq[0] + i * 1e3, freq[-1], DENSE_POINTS)
+        for i in range(8)
+    ]
+    t_dense_lu = timed(lambda g: red_fn(rm, g), dense_grids, reps=5)
+    log(f"dense re-sweep LU ({DENSE_POINTS} pts): {t_dense_lu*1e3:.1f} ms "
+        f"({DENSE_POINTS/t_dense_lu:,.0f} points/s)")
+
+    sm = prepare_spectral(rm, cfg)
+    sp_fn = jax.jit(lambda g: spectral_sweep(sm, g))
+    t_dense = timed(sp_fn, dense_grids, reps=5)
+    x_sp = sp_fn(dense_grids[0])
+    x_lu_dense = red_fn(rm, dense_grids[0])
+    sp_rel = float(
+        jnp.linalg.norm(x_sp - x_lu_dense) / jnp.linalg.norm(x_lu_dense)
+    )
+    log(f"dense re-sweep spectral ({DENSE_POINTS} pts): {t_dense*1e3:.1f} ms "
+        f"({DENSE_POINTS/t_dense:,.0f} points/s; vs LU rel {sp_rel:.1e})")
 
     result = {
         "metric": "reduced_sweep_speedup_vs_full_order",
@@ -168,6 +185,8 @@ def main():
             "solution_rel_error": rel,
             "gsm_error_max": gsm_err,
             "dense_points_per_s": round(DENSE_POINTS / t_dense),
+            "dense_points_per_s_lu": round(DENSE_POINTS / t_dense_lu),
+            "spectral_vs_lu_rel": sp_rel,
             "device": str(jax.devices()[0]),
         },
     }

@@ -23,6 +23,7 @@ from morfem_tpu.mor.api import morfem, build_reduced_model
 from morfem_tpu.mor.reduced import ReducedModel, project, sweep
 from morfem_tpu.mor.greedy import greedy_basis, GreedyResult
 from morfem_tpu.mor.equally import equally_distributed_basis
+from morfem_tpu.mor.spectral import SpectralModel, prepare_spectral, spectral_sweep
 from morfem_tpu.mor.estimator import (
     estimator_blocks,
     estimate_errors,
@@ -52,6 +53,9 @@ __all__ = [
     "greedy_basis",
     "GreedyResult",
     "equally_distributed_basis",
+    "SpectralModel",
+    "prepare_spectral",
+    "spectral_sweep",
     "estimator_blocks",
     "estimate_errors",
     "estimate_errors_direct",

@@ -29,7 +29,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import jax.scipy.linalg as jsl
 
 from morfem_tpu.config import MorfemConfig, DEFAULT_CONFIG
 from morfem_tpu.mor.reduced import ReducedModel
@@ -57,11 +56,16 @@ class SpectralModel:
         return spectral_sweep(self, ts)
 
 
-def _try_cholesky(s: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Cholesky + a validity flag (NaN-free ⇒ the matrix was SPD)."""
-    w = jnp.linalg.cholesky(s)
-    ok = jnp.all(jnp.isfinite(w))
-    return w, ok
+def _try_cholesky(s) -> Tuple:
+    """NumPy Cholesky + validity flag. Host-side on purpose: `prepare` is
+    a one-time offline step on K×K matrices, and native f64 beats TPU's
+    emulated f64 (whose eigh is only ~1e-9-accurate even after scaling)."""
+    import numpy as np
+
+    try:
+        return np.linalg.cholesky(s), True
+    except np.linalg.LinAlgError:
+        return None, False
 
 
 def prepare_spectral(
@@ -83,35 +87,51 @@ def prepare_spectral(
             "spectral sweep requires a two-term pencil (r1 == 0); "
             f"got ‖r1‖ = {r1_norm:.2e}"
         )
+    import numpy as np
+    import scipy.linalg as spl
+
     mask = column_mask(rm.k, rm.ncols, rm.r0.dtype)
-    pad = jnp.diag(1.0 - mask)
+    pad = np.diag(1.0 - np.asarray(mask))
 
     def sym(a):
+        a = np.asarray(a, np.float64)
         return (a + a.T) * 0.5
 
     r0 = sym(rm.r0) + pad
     r2 = sym(rm.r2) + pad
+    b_masked = np.asarray(rm.b_r, np.float64) * np.asarray(mask)[:, None]
 
     for swapped, (spd_term, other) in ((False, (r2, r0)), (True, (r0, r2))):
+        # Normalize both pencil terms to unit scale before factorizing.
+        # The raw waveguide pencil has ‖R0‖/‖R2‖ ~ 1e20; TPU's emulated
+        # f64 (f32 exponent range) loses the eigendecomposition entirely
+        # at that scale (eigenvalues off by >100×). The scales are folded
+        # back into `lam` (·s_other) and `sigma` (·s_spd), leaving the
+        # sweep formula unchanged.
+        s_spd = float(np.max(np.abs(spd_term)))
+        s_other = float(np.max(np.abs(other)))
+        s_spd = s_spd if s_spd > 0 else 1.0
+        s_other = s_other if s_other > 0 else 1.0
         for sigma in (1.0, -1.0):
-            w, ok = _try_cholesky(sigma * spd_term)
-            if bool(ok):
-                # B̃ = W⁻¹·other·W⁻ᵀ, symmetric
-                wi_other = jsl.solve_triangular(w, other, lower=True)
-                btilde = jsl.solve_triangular(
+            w, ok = _try_cholesky(sigma * spd_term / s_spd)
+            if ok:
+                # B̃ = W⁻¹·(other/s_other)·W⁻ᵀ, symmetric, ‖B̃‖ = O(1)
+                wi_other = spl.solve_triangular(
+                    w, other / s_other, lower=True
+                )
+                btilde = spl.solve_triangular(
                     w, wi_other.T, lower=True
                 ).T
-                lam, u = jnp.linalg.eigh(sym(btilde))
-                wi_b = jsl.solve_triangular(
-                    w, rm.b_r * mask[:, None], lower=True
-                )
+                lam, u = np.linalg.eigh((btilde + btilde.T) * 0.5)
+                wi_b = spl.solve_triangular(w, b_masked, lower=True)
                 proj = u.T @ wi_b
-                back = jsl.solve_triangular(w.T, u, lower=False)
+                back = spl.solve_triangular(w.T, u, lower=False)
+                dtype = rm.r0.dtype
                 return SpectralModel(
-                    lam=lam,
-                    proj=proj,
-                    back=back,
-                    sigma=jnp.asarray(sigma, rm.r0.dtype),
+                    lam=jnp.asarray(lam * s_other, dtype),
+                    proj=jnp.asarray(proj, dtype),
+                    back=jnp.asarray(back, dtype),
+                    sigma=jnp.asarray(sigma * s_spd, dtype),
                     swapped=jnp.asarray(swapped),
                     mask=mask,
                     rm=rm,
