@@ -76,11 +76,13 @@ def main():
 
     # ---- full-order baseline: AOT-compile, then time the execution ----
     full_fn = jax.jit(lambda s: solve_sweep(s, cfg)).lower(sys_).compile()
+    x_full = full_fn(sys_)
+    float(jnp.sum(x_full))  # warm-up: first call pays executable load
     t0 = time.perf_counter()
     x_full = full_fn(sys_)
     float(jnp.sum(x_full))  # scalar readback: the only reliable device sync
     t_full = time.perf_counter() - t0
-    log(f"full-order sweep ({N_POINTS} pts): {t_full:.3f} s")
+    log(f"full-order sweep ({N_POINTS} pts, warm): {t_full:.3f} s")
 
     # ---- reduced model build (greedy): compile and run timed apart ----
 

@@ -97,12 +97,13 @@ def basis_size_study(
     q_orth = jax.vmap(orthonormalize_svd_masked)(q_stack, ncols)
 
     # batched projection: r_p [S, K, K], b_r [S, K, M]
-    qh = jnp.conjugate(jnp.swapaxes(q_orth, -1, -2))
+    # plain transpose projection (see mor/reduced.py docstring)
+    qt = jnp.swapaxes(q_orth, -1, -2)
     rs = [
-        jnp.einsum("skn,nl,slj->skj", qh, op, q_orth)
+        jnp.einsum("skn,nl,slj->skj", qt, op, q_orth)
         for op in sys.operators()
     ]
-    b_r = jnp.einsum("skn,nm->skm", qh, sys.b)
+    b_r = jnp.einsum("skn,nm->skm", qt, sys.b)
 
     def sweep_one(r0, r1, r2, br, nc, q):
         rm = ReducedModel(

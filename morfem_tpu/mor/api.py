@@ -111,6 +111,21 @@ def morfem(
     rm, _ = build_reduced_model(sys, config, timer)
     rm = rm.trim()
     with timer.phase("reduced sweep"):
-        x = sweep(rm, config)
+        x = _run_sweep(rm, config)
         jax.block_until_ready(x)
     return x, rm.q, rm.r0, rm.r1, rm.r2, rm.b_r
+
+
+def _run_sweep(rm: ReducedModel, config: MorfemConfig):
+    """Final sweep dispatch per `config.sweep_method` (auto/lu/spectral)."""
+    if config.sweep_method == "lu":
+        return sweep(rm, config)
+    from morfem_tpu.mor.spectral import prepare_spectral, spectral_sweep
+
+    try:
+        sm = prepare_spectral(rm, config)
+    except ValueError:
+        if config.sweep_method == "spectral":
+            raise
+        return sweep(rm, config)
+    return spectral_sweep(sm)

@@ -76,16 +76,20 @@ def max_basis_columns(m: int, config: MorfemConfig, n: int | None = None) -> int
 def _reduced_from_u(
     sys: AffineSystem, q: jax.Array, ncols: jax.Array, u: jax.Array
 ) -> ReducedModel:
-    """Build the reduced model reusing U_i = A_i·Q from the estimator."""
+    """Build the reduced model reusing U_i = A_i·Q from the estimator.
+
+    Plain-transpose projection, like `project` (see mor/reduced.py's module
+    docstring for why the bilinear form is the right one).
+    """
     mask = column_mask(q.shape[1], ncols, q.dtype)
-    qmh = (q * mask).conj().T
+    qmt = (q * mask).T
     return ReducedModel(
         domain=sys.domain,
         q=q,
-        r0=qmh @ u[0],
-        r1=qmh @ u[1],
-        r2=qmh @ u[2],
-        b_r=qmh @ sys.b,
+        r0=qmt @ u[0],
+        r1=qmt @ u[1],
+        r2=qmt @ u[2],
+        b_r=qmt @ sys.b,
         ncols=ncols,
         t_a0=sys.t_a0,
         t_a1=sys.t_a1,
@@ -112,12 +116,15 @@ def greedy_basis(
     k = max_basis_columns(m, config, n)
     i = sys.num_points
     max_iters = config.max_greedy_iterations
-    dtype = sys.dtype
+    # solutions live in the dtype promoted across operators AND coefficient
+    # values (complex-valued coefficient callables are allowed)
+    c_probe, cb_probe = sys.coefficients(sys.domain[:1])
+    dtype = jnp.result_type(sys.dtype, c_probe.dtype, cb_probe.dtype)
     rdtype = jnp.zeros((), dtype).real.dtype
 
     x0 = solve_point(sys, sys.domain[0], config)
     x1 = solve_point(sys, sys.domain[-1], config)
-    seeds = jnp.concatenate([x0, x1], axis=1)  # [N, 2M]
+    seeds = jnp.concatenate([x0, x1], axis=1).astype(dtype)  # [N, 2M]
     q = jnp.zeros((n, k), dtype)
     q = lax.dynamic_update_slice(q, seeds, (0, 0))
     q = orthonormalize_svd_masked(q, jnp.asarray(2 * m))

@@ -18,11 +18,20 @@ TPU-native design:
   given an identity diagonal so the factorization stays nonsingular; their
   solution entries are exactly zero because the padded RHS rows are zero.
 
-Note on transposes: the reference projects with the plain transpose
-``q.T`` (implementation.py:180-184) which equals the Hermitian conjugate for
-its real-valued example; this implementation uses the Hermitian conjugate
-(conj().T), the correct Galerkin projection for complex bases, and is
-bit-identical on real data.
+Note on transposes: the projection uses the PLAIN transpose ``q.T``,
+exactly like the reference (implementation.py:180-184) — and deliberately
+so, not just for parity. Frequency-domain FEM systems are complex
+*symmetric* (not Hermitian), and three things only stay consistent with a
+plain-transpose (bilinear-form) Galerkin projection:
+  * the reduced matrices remain complex-symmetric, so the reference's
+    symmetrization ``(A_r + A_rᵀ)/2`` is harmless (with a Hermitian
+    projection it would zero the imaginary part — Hermitian matrices have
+    antisymmetric imaginary parts);
+  * the GSM consistency identity ``x_rᵀ·(Qᵀb) ≡ (Q·x_r)ᵀ·b``
+    (test_helpers.py:60-65) holds;
+  * results are bit-identical to the reference on real data.
+Norm/orthogonality computations (SVD, Gram-Schmidt, the estimator's Gram
+blocks) keep Hermitian inner products — those are norms, not projections.
 """
 
 from __future__ import annotations
@@ -110,11 +119,11 @@ def project(
     """
     if ncols is None:
         ncols = jnp.asarray(q.shape[1])
-    qh = q.conj().T
-    r0 = qh @ (sys.a0 @ q)
-    r1 = qh @ (sys.a1 @ q)
-    r2 = qh @ (sys.a2 @ q)
-    b_r = qh @ sys.b
+    qt = q.T  # plain transpose — see module docstring
+    r0 = qt @ (sys.a0 @ q)
+    r1 = qt @ (sys.a1 @ q)
+    r2 = qt @ (sys.a2 @ q)
+    b_r = qt @ sys.b
     return ReducedModel(
         domain=sys.domain,
         q=q,

@@ -77,11 +77,40 @@ def lu_solve_refined(
     """
     work_dtype = jnp.result_type(a.dtype, b.dtype)
     factor_dtype = jnp.dtype(factor_dtype)
+    if jnp.issubdtype(a.dtype, jnp.complexfloating) and not jnp.issubdtype(
+        factor_dtype, jnp.complexfloating
+    ):
+        factor_dtype = jnp.dtype(
+            jnp.complex64 if factor_dtype == jnp.float32 else jnp.complex128
+        )
+
     lu, piv = jsl.lu_factor(a.astype(factor_dtype))
-    x = jsl.lu_solve((lu, piv), b.astype(factor_dtype)).astype(work_dtype)
+    # A real factorization can still serve complex right-hand sides by
+    # solving the stacked [Re(b) | Im(b)] — casting b to a real factor
+    # dtype would silently drop the imaginary part.
+    split_complex = jnp.issubdtype(
+        work_dtype, jnp.complexfloating
+    ) and not jnp.issubdtype(factor_dtype, jnp.complexfloating)
+
+    def factored_solve(rhs):
+        if split_complex:
+            stacked = jnp.concatenate(
+                [rhs.real, rhs.imag], axis=-1
+            ).astype(factor_dtype)
+            sol = jsl.lu_solve((lu, piv), stacked).astype(
+                jnp.zeros((), work_dtype).real.dtype
+            )
+            m = rhs.shape[-1]
+            return (sol[..., :m] + 1j * sol[..., m:]).astype(work_dtype)
+        return jsl.lu_solve((lu, piv), rhs.astype(factor_dtype)).astype(
+            work_dtype
+        )
+
+    x = factored_solve(b)
 
     needs_refine = refine_iterations > 0 and (
         jnp.finfo(work_dtype).bits > jnp.finfo(factor_dtype).bits
+        or split_complex
     )
     if needs_refine:
         a_w = a.astype(work_dtype)
@@ -89,8 +118,7 @@ def lu_solve_refined(
 
         def body(_, x):
             r = b_w - a_w @ x
-            d = jsl.lu_solve((lu, piv), r.astype(factor_dtype))
-            return x + d.astype(work_dtype)
+            return x + factored_solve(r)
 
         x = lax.fori_loop(0, refine_iterations, body, x)
     return x

@@ -166,7 +166,7 @@ def sparse_snapshot_basis(
 def sparse_project(a0, a1, a2, b, q: jax.Array):
     """Galerkin projection with SpMM images — r_p = Qᴴ·(A_p·Q), b_r = Qᴴ·B."""
     ops = (to_bcoo(a0), to_bcoo(a1), to_bcoo(a2))
-    qh = q.conj().T
-    rs = tuple(qh @ (op @ q) for op in ops)
-    b_r = qh @ jnp.asarray(b)
+    qt = q.T  # plain transpose (see mor/reduced.py docstring)
+    rs = tuple(qt @ (op @ q) for op in ops)
+    b_r = qt @ jnp.asarray(b)
     return rs, b_r

@@ -50,9 +50,9 @@ def tp_operator_images_and_project(
     def local(a0_l, a1_l, a2_l, b_l, q_l, q_full):
         # a*_l: [N/tp, N]; q_l: [N/tp, K]; q_full: [N, K] (gathered once)
         u_l = jnp.stack([a0_l @ q_full, a1_l @ q_full, a2_l @ q_full])
-        qh_l = q_l.conj().T
-        r_part = jnp.einsum("kn,pnl->pkl", qh_l, u_l)
-        br_part = qh_l @ b_l
+        qt_l = q_l.T  # plain transpose (see mor/reduced.py docstring)
+        r_part = jnp.einsum("kn,pnl->pkl", qt_l, u_l)
+        br_part = qt_l @ b_l
         r = jax.lax.psum(r_part, axis)
         b_r = jax.lax.psum(br_part, axis)
         return u_l, r, b_r
@@ -173,14 +173,14 @@ def multi_geometry_mor(
         q = orthonormalize_svd(
             jnp.moveaxis(snaps, 0, 1).reshape(a0g.shape[0], -1)
         )  # [N, S·M]
-        qh = q.conj().T
+        qt = q.T  # plain transpose (see mor/reduced.py docstring)
         rm = ReducedModel(
             domain=dom,
             q=q,
-            r0=qh @ (a0g @ q),
-            r1=qh @ (a1g @ q),
-            r2=qh @ (a2g @ q),
-            b_r=qh @ bg,
+            r0=qt @ (a0g @ q),
+            r1=qt @ (a1g @ q),
+            r2=qt @ (a2g @ q),
+            b_r=qt @ bg,
             ncols=jnp.asarray(q.shape[1]),
             t_a0=t_a0,
             t_a1=t_a1,

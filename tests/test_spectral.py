@@ -97,3 +97,84 @@ class TestSpectral:
             np.asarray(x_lu)
         )
         assert rel < 1e-10, rel
+
+
+class TestSweepMethodDispatch:
+    def test_auto_uses_spectral_for_waveguide(self, waveguide_rm):
+        """morfem() with sweep_method='auto' must produce spectral-grade
+        results on the two-term waveguide pencil, matching 'lu'."""
+        from morfem_tpu import morfem
+
+        sys_, rm = waveguide_rm
+        a0 = np.asarray(sys_.a0)
+        a1 = np.asarray(sys_.a1)
+        a2 = np.asarray(sys_.a2)
+        b = np.asarray(sys_.b)
+        dom = np.asarray(sys_.domain)
+        kw = dict(t_b=sys_.t_b)
+        x_auto, q_a, *_ = morfem(
+            dom, a0, a1, a2, b, config=CFG.replace(sweep_method="auto"), **kw
+        )
+        x_lu, q_l, *_ = morfem(
+            dom, a0, a1, a2, b, config=CFG.replace(sweep_method="lu"), **kw
+        )
+        rec_a = np.einsum("nk,ikm->inm", np.asarray(q_a), np.asarray(x_auto))
+        rec_l = np.einsum("nk,ikm->inm", np.asarray(q_l), np.asarray(x_lu))
+        rel = np.linalg.norm(rec_a - rec_l) / np.linalg.norm(rec_l)
+        assert rel < 1e-9, rel
+
+    def test_auto_falls_back_on_three_term(self):
+        from morfem_tpu import morfem
+
+        key = jax.random.PRNGKey(1)
+        domain, a0, a1, a2, b = random_affine_system(key, n=48, m=2, num_points=12)
+        x, q, *_ = morfem(
+            np.asarray(domain), np.asarray(a0), np.asarray(a1),
+            np.asarray(a2), np.asarray(b),
+            config=CFG.replace(sweep_method="auto"),
+        )
+        assert np.isfinite(np.asarray(x)).all()
+
+    def test_spectral_required_raises_on_three_term(self):
+        from morfem_tpu import morfem
+
+        key = jax.random.PRNGKey(1)
+        domain, a0, a1, a2, b = random_affine_system(key, n=48, m=2, num_points=12)
+        with pytest.raises(ValueError, match="two-term"):
+            morfem(
+                np.asarray(domain), np.asarray(a0), np.asarray(a1),
+                np.asarray(a2), np.asarray(b),
+                config=CFG.replace(sweep_method="spectral"),
+            )
+
+
+class TestComplexCoefficients:
+    def test_morfem_with_complex_coefficient(self):
+        """Coefficient callables may return complex values (the estimator
+        keeps the reference's unconjugated products); the pipeline must
+        produce solutions matching a per-point oracle."""
+        from morfem_tpu import morfem
+        import oracles
+
+        rng = np.random.default_rng(5)
+        n, m = 40, 2
+        a0 = rng.normal(size=(n, n)) / n + np.eye(n) * 40
+        a0 = (a0 + a0.T) / 2
+        a1 = (lambda a: (a + a.T) / 2)(rng.normal(size=(n, n)) / n)
+        a2 = (lambda a: (a + a.T) / 2)(rng.normal(size=(n, n)) / n)
+        b = rng.normal(size=(n, m))
+        domain = np.linspace(1.0, 2.0, 12)
+        t_b = lambda t: t * (1.0 + 0.5j)  # noqa: E731
+        x, q, *_ = morfem(
+            domain, a0, a1, a2, b, t_b=t_b,
+            config=CFG.replace(error_threshold=1e-12, sweep_method="lu"),
+        )
+        rec = np.einsum("nk,ikm->inm", np.asarray(q), np.asarray(x))
+        ref = oracles.full_sweep(
+            domain, a0, a1, a2, b,
+            lambda t: 1.0, lambda t: t, lambda t: t**2, t_b,
+        )
+        rel = np.linalg.norm(rec - ref) / np.linalg.norm(ref)
+        # complex-symmetric (bilinear) Galerkin has a weaker quasi-
+        # optimality constant than the real SPD case; 2-3e-8 observed
+        assert rel < 1e-7, rel
