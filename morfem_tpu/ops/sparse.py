@@ -10,6 +10,13 @@ factorization; this framework's scaling story for N beyond dense-LU reach
   * Jacobi-preconditioned Krylov solves (BiCGStab default — the swept
     system C − k²T is symmetric but indefinite near resonances, so plain
     CG is not safe; GMRES available for tougher spectra),
+
+    CAVEAT: Jacobi-preconditioned Krylov converges well for diagonally
+    dominant / definite operators (covered by tests), but strongly
+    indefinite in-band Helmholtz systems need specialized preconditioners
+    (shifted-Laplace / multigrid) that no general-purpose library ships;
+    `solve_point_iterative` returns the achieved residual so callers can
+    detect non-convergence instead of silently consuming a bad snapshot,
   * the same snapshot → projection → reduced-sweep pipeline on top: the
     estimator and projection already only need operator *applications*
     (U_p = A_p·Q), which are SpMM here.
@@ -91,12 +98,15 @@ def solve_point_iterative(
     tol: float = 1e-10,
     maxiter: int = 2000,
     method: str = "bicgstab",
-) -> jax.Array:
+    return_residual: bool = False,
+):
     """Matrix-free solve of A(t)·x = rhs — the large-N snapshot path.
 
     Jacobi-preconditioned BiCGStab/GMRES per right-hand-side column
     (columns vmapped). Replaces `splu` (implementation.py:474-476) where
-    dense LU no longer fits.
+    dense LU no longer fits. With ``return_residual`` also returns the
+    achieved relative residual per column — Krylov methods on strongly
+    indefinite systems can stagnate, and jax's solvers do not raise.
     """
     diag = op.diagonal(c)
     safe = jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)
@@ -119,7 +129,14 @@ def solve_point_iterative(
             )
         return x
 
-    return jax.vmap(solve_col, in_axes=1, out_axes=1)(rhs)
+    x = jax.vmap(solve_col, in_axes=1, out_axes=1)(rhs)
+    if return_residual:
+        r = rhs - op.matvec(c, x)
+        relres = jnp.linalg.norm(r, axis=0) / jnp.maximum(
+            jnp.linalg.norm(rhs, axis=0), 1e-300
+        )
+        return x, relres
+    return x
 
 
 def sparse_snapshot_basis(
@@ -146,6 +163,7 @@ def sparse_snapshot_basis(
     op = SparseAffineOperator(a0, a1, a2, symmetrize=config.symmetrize)
     ts = domain[seed_indices]
     snaps = []
+    worst = 0.0
     for i in range(ts.shape[0]):
         t = ts[i]
         c = jnp.stack(
@@ -156,8 +174,20 @@ def sparse_snapshot_basis(
             ]
         )
         rhs = jnp.asarray(t_b(t), dtype=b.dtype) * b
-        snaps.append(
-            solve_point_iterative(op, c, rhs, tol=tol, method=method)
+        x, relres = solve_point_iterative(
+            op, c, rhs, tol=tol, method=method, return_residual=True
+        )
+        worst = max(worst, float(jnp.max(relres)))
+        snaps.append(x)
+    if worst > max(tol * 100, 1e-8):
+        import warnings
+
+        warnings.warn(
+            f"iterative snapshot solves reached only {worst:.1e} relative "
+            "residual — the operator is likely strongly indefinite; the "
+            "basis may be unusable (consider the dense path or a better "
+            "preconditioner)",
+            stacklevel=2,
         )
     q = jnp.concatenate(snaps, axis=1)
     return orthonormalize_svd(q)
