@@ -97,13 +97,18 @@ def basis_size_study(
     q_orth = jax.vmap(orthonormalize_svd_masked)(q_stack, ncols)
 
     # batched projection: r_p [S, K, K], b_r [S, K, M]
-    # plain transpose projection (see mor/reduced.py docstring)
+    # plain transpose projection (see mor/reduced.py docstring);
+    # N-axis contractions routed through the chunked-precision matmul
+    from morfem_tpu.ops.precision import precise_matmul
+
     qt = jnp.swapaxes(q_orth, -1, -2)
     rs = [
-        jnp.einsum("skn,nl,slj->skj", qt, op, q_orth)
+        jax.vmap(lambda qs, qts: precise_matmul(qts, precise_matmul(op, qs)))(
+            q_orth, qt
+        )
         for op in sys.operators()
     ]
-    b_r = jnp.einsum("skn,nm->skm", qt, sys.b)
+    b_r = jax.vmap(lambda qts: precise_matmul(qts, sys.b))(qt)
 
     def sweep_one(r0, r1, r2, br, nc, q):
         rm = ReducedModel(

@@ -65,12 +65,11 @@ def gim_real(frequency: jax.Array, e: jax.Array, b: jax.Array) -> jax.Array:
     Batched over leading axes; everything real, so it runs in f64 on TPU
     (TPU supports no complex128 at all).
     """
+    from morfem_tpu.ops.precision import precise_matmul
+
+    etb = precise_matmul(jnp.swapaxes(e, -1, -2), b)  # EᵀB, N-contraction
     return (
-        2
-        * PI
-        * jnp.asarray(frequency)[..., None, None]
-        * EPSILON_0
-        * jnp.einsum("...nm,...nk->...mk", e, b)
+        2 * PI * jnp.asarray(frequency)[..., None, None] * EPSILON_0 * etb
     )
 
 

@@ -39,9 +39,13 @@ class MorfemConfig:
         "float64"). On TPU, float64 LU does not compile, but float32 LU on the
         MXU plus float64 iterative refinement recovers ~1e-15 relative
         residuals; on CPU float64 may be used directly.
-      refine_iterations: number of iterative-refinement steps applied after
-        each LU solve when the working dtype is wider than the factorization
-        dtype. 0 disables refinement.
+      refine_iterations: MAXIMUM iterative-refinement steps after each LU
+        solve when the working dtype is wider than the factorization dtype
+        (0 disables refinement). Refinement is adaptive — it stops as soon
+        as the residual reaches working precision or stagnates — so the
+        cap only binds for ill-conditioned systems: near-resonance points
+        (which the greedy deliberately samples) contract slowly
+        (~cond·ε_f32 per step) and genuinely need ~20 steps.
       solve_chunk: number of full-order systems materialized/factored at once
         in batched full-order sweeps (bounds HBM: chunk × N² × dtype bytes).
       use_pallas_reduced_sweep: run the reduced-model frequency sweep with the
@@ -83,7 +87,7 @@ class MorfemConfig:
     max_greedy_iterations: int = 40
     orthonormalization: str = "svd"
     factor_dtype_name: str = "float32"
-    refine_iterations: int = 2
+    refine_iterations: int = 25
     solve_chunk: int = 8
     use_pallas_reduced_sweep: bool = False
     symmetrize: bool = True

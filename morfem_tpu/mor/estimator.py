@@ -43,7 +43,13 @@ import jax.numpy as jnp
 from morfem_tpu.config import MorfemConfig, DEFAULT_CONFIG
 from morfem_tpu.mor.reduced import ReducedModel, assemble_reduced, solve_reduced_batch
 from morfem_tpu.ops.orthonormalize import column_mask
+from morfem_tpu.ops.precision import precise_gram, precise_matmul
 from morfem_tpu.system import AffineSystem
+
+# All f64 contractions here use HIGHEST precision explicitly: on TPU the
+# default matmul precision degrades the emulated-f64 products to ~1e-7
+# relative, which floors the estimator and silently stops greedy refinement.
+_HI = jax.lax.Precision.HIGHEST
 
 
 class EstimatorBlocks(NamedTuple):
@@ -71,7 +77,7 @@ def operator_images(
     """
     mask = column_mask(q.shape[1], ncols, q.dtype)
     qm = q * mask
-    return jnp.stack([a @ qm for a in sys.operators()])
+    return jnp.stack([precise_matmul(a, qm) for a in sys.operators()])
 
 
 def estimator_blocks(
@@ -86,9 +92,15 @@ def estimator_blocks(
     Returns (blocks, u) with u shaped [3, N, K].
     """
     u = operator_images(sys, q, ncols)
-    g = jnp.einsum("ink,jnl->ijkl", u.conj(), u)
-    gb = jnp.einsum("ink,nm->ikm", u.conj(), sys.b)
-    bb = sys.b.conj().T @ sys.b
+    # Gram contractions run over the big N axis → chunked f64 matmuls
+    g = jnp.stack(
+        [
+            jnp.stack([precise_gram(u[i].conj(), u[j]) for j in range(3)])
+            for i in range(3)
+        ]
+    )
+    gb = jnp.stack([precise_gram(u[i].conj(), sys.b) for i in range(3)])
+    bb = precise_gram(sys.b.conj(), sys.b)
     return EstimatorBlocks(g=g, gb=gb, bb=bb), u
 
 
@@ -131,13 +143,13 @@ def estimate_errors(
     bb_bal = blocks.bb * (sb * sb)
 
     # z[i] = Σ_{pq} c_p c_q G_pq  → [I, K, K]
-    z = jnp.einsum("ip,iq,pqkl->ikl", cn, cn, g_bal)
-    t1 = jnp.einsum("ikm,ikl,iln->imn", x.conj(), z, x)
+    z = jnp.einsum("ip,iq,pqkl->ikl", cn, cn, g_bal, precision=_HI)
+    t1 = jnp.einsum("ikm,ikl,iln->imn", x.conj(), z, x, precision=_HI)
     # gv[i] = Σ_p c_p c_b gb_p → [I, K, M]
-    gv = jnp.einsum("ip,i,pkm->ikm", cn, cbn, gb_bal)
-    t2 = jnp.einsum("ikm,ikn->imn", x.conj(), gv)
+    gv = jnp.einsum("ip,i,pkm->ikm", cn, cbn, gb_bal, precision=_HI)
+    t2 = jnp.einsum("ikm,ikn->imn", x.conj(), gv, precision=_HI)
     # t3 = Σ_p c_b c_p gb_pᴴ x  (≡ t2ᴴ when coefficients are real)
-    t3 = jnp.einsum("ip,i,pkm,ikn->imn", cn, cbn, gb_bal.conj(), x)
+    t3 = jnp.einsum("ip,i,pkm,ikn->imn", cn, cbn, gb_bal.conj(), x, precision=_HI)
     t4 = (cbn * cbn)[:, None, None] * bb_bal
     e = t1 - t2 - t3 + t4
     err = jnp.sqrt(jnp.sum(jnp.abs(e) ** 2, axis=(-1, -2)))
@@ -194,10 +206,13 @@ def estimate_errors_direct(
     def chunk_err(args):
         cc, cbc, xc = args
         # R = Σ_p c_p·(U_p @ x) − c_b·B   → [chunk, N, M]
-        ux = jnp.einsum("pnk,ikm->pinm", u, xc)
-        r = jnp.einsum("ip,pinm->inm", cc, ux) - cbc[:, None, None] * b
+        ux = jnp.einsum("pnk,ikm->pinm", u, xc, precision=_HI)
+        r = (
+            jnp.einsum("ip,pinm->inm", cc, ux, precision=_HI)
+            - cbc[:, None, None] * b
+        )
         # err = ‖RᴴR‖_F  (reference norm semantics, implementation.py:424)
-        rhr = jnp.einsum("inm,inl->iml", r.conj(), r)
+        rhr = jnp.einsum("inm,inl->iml", r.conj(), r, precision=_HI)
         return jnp.sqrt(jnp.sum(jnp.abs(rhr) ** 2, axis=(-1, -2)))
 
     err = jax.lax.map(chunk_err, (c_ch, cb_ch, x_ch))

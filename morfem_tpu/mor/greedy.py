@@ -40,8 +40,11 @@ from morfem_tpu.ops.orthonormalize import (
     orthonormalize_append_cgs2,
     orthonormalize_svd_masked,
 )
+from morfem_tpu.ops.precision import precise_matmul
 from morfem_tpu.ops.solve import solve_point
 from morfem_tpu.system import AffineSystem
+
+_HI = jax.lax.Precision.HIGHEST  # see mor/estimator.py on TPU f64 matmuls
 
 
 class GreedyState(NamedTuple):
@@ -86,10 +89,10 @@ def _reduced_from_u(
     return ReducedModel(
         domain=sys.domain,
         q=q,
-        r0=qmt @ u[0],
-        r1=qmt @ u[1],
-        r2=qmt @ u[2],
-        b_r=qmt @ sys.b,
+        r0=precise_matmul(qmt, u[0]),
+        r1=precise_matmul(qmt, u[1]),
+        r2=precise_matmul(qmt, u[2]),
+        b_r=precise_matmul(qmt, sys.b),
         ncols=ncols,
         t_a0=sys.t_a0,
         t_a1=sys.t_a1,
@@ -168,7 +171,8 @@ def greedy_basis(
             mask = column_mask(k, s.ncols, q.dtype)
 
             def project_out(v):
-                return v - q @ ((q.conj().T @ v) * mask[:, None])
+                coeff = precise_matmul(q.conj().T, v)
+                return v - jnp.matmul(q, coeff * mask[:, None], precision=_HI)
 
             resid = project_out(project_out(x_new))
             ratio = jnp.linalg.norm(resid, axis=0) / jnp.maximum(

@@ -46,8 +46,11 @@ from jax import lax
 
 from morfem_tpu.config import MorfemConfig, DEFAULT_CONFIG
 from morfem_tpu.ops.orthonormalize import column_mask
+from morfem_tpu.ops.precision import precise_matmul
 from morfem_tpu.ops.solve import factor_dtype_like
 from morfem_tpu.system import AffineSystem, Coefficient
+
+_HI = jax.lax.Precision.HIGHEST  # see mor/estimator.py on TPU f64 matmuls
 
 
 @jax.tree_util.register_dataclass
@@ -120,10 +123,14 @@ def project(
     if ncols is None:
         ncols = jnp.asarray(q.shape[1])
     qt = q.T  # plain transpose — see module docstring
-    r0 = qt @ (sys.a0 @ q)
-    r1 = qt @ (sys.a1 @ q)
-    r2 = qt @ (sys.a2 @ q)
-    b_r = qt @ sys.b
+
+    def proj(a):
+        return precise_matmul(qt, precise_matmul(a, q))
+
+    r0 = proj(sys.a0)
+    r1 = proj(sys.a1)
+    r2 = proj(sys.a2)
+    b_r = precise_matmul(qt, sys.b)
     return ReducedModel(
         domain=sys.domain,
         q=q,
@@ -178,7 +185,7 @@ def solve_reduced_batch(
         a_w, rhs_w = a.astype(work_dtype), rhs.astype(work_dtype)
 
         def body(_, x):
-            r = rhs_w - a_w @ x
+            r = rhs_w - jnp.matmul(a_w, x, precision=_HI)
             d = jsl.lu_solve((lu, piv), r.astype(fd))
             return x + d.astype(work_dtype)
 

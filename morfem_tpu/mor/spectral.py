@@ -163,5 +163,8 @@ def spectral_sweep(
     denom = jnp.where(denom == 0, jnp.asarray(1e-300, denom.dtype), denom)
     coeff = cb[:, None] / denom  # [I, K]
     # x = back · diag(coeff) · proj
-    x = jnp.einsum("kl,il,lm->ikm", sm.back, coeff, sm.proj)
+    x = jnp.einsum(
+        "kl,il,lm->ikm", sm.back, coeff, sm.proj,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return x * sm.mask[None, :, None]

@@ -28,19 +28,56 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+_HI = jax.lax.Precision.HIGHEST  # TPU f64 matmuls degrade at default precision
+
+from morfem_tpu.ops.precision import precise_matmul  # noqa: E402
+
 
 def column_mask(k: int, ncols: jax.Array, dtype=jnp.float32) -> jax.Array:
     """[K] mask: 1.0 for columns < ncols, else 0.0."""
     return (jnp.arange(k) < ncols).astype(dtype)
 
 
+def cholesky_qr_refine(q: jax.Array, mask: jax.Array | None = None) -> jax.Array:
+    """One CholeskyQR pass: re-orthonormalize an almost-orthonormal basis.
+
+    TPU's f64 QR/SVD lowering runs its internal matmuls at reduced
+    precision for larger matrices — at N≈3.4k the returned factors are
+    only ~3e-7 orthonormal (vs ~1e-13 at N≈512), which caps the accuracy
+    of everything downstream. One pass of
+
+        G = QᵀQ  (HIGHEST-precision matmul);  L = chol(G);  Q ← Q·L⁻ᵀ
+
+    squares that error away (CholeskyQR2 argument: the result is
+    orthonormal to ~ε·κ(Q)², and κ(Q) ≈ 1 + 3e-7 here). Padded (zero)
+    columns are handled by a unit diagonal in G and stay exactly zero.
+    No-ops gracefully (returns q unchanged) if G is numerically singular.
+    """
+    k = q.shape[1]
+    g = precise_matmul(q.conj().T, q)
+    if mask is not None:
+        g = g + jnp.diag(1.0 - mask)
+    l = jnp.linalg.cholesky(g)
+    ok = jnp.all(jnp.isfinite(l))
+    eye = jnp.eye(k, dtype=q.dtype)
+    l_safe = jnp.where(ok, l, eye)
+    # L⁻¹ via K×K triangular solve (small, accurate), applied with a
+    # controlled-precision matmul
+    linv = jax.scipy.linalg.solve_triangular(l_safe, eye, lower=True)
+    q_ref = jnp.matmul(q, linv.conj().T, precision=_HI)
+    return jnp.where(ok, q_ref, q)
+
+
 def orthonormalize_svd(q: jax.Array) -> jax.Array:
     """Thin-SVD orthonormalization: left singular vectors of q.
 
     Counterpart of ``np.linalg.svd(q, full_matrices=False)[0]``
-    (reference: implementation.py:210, :226, :298).
+    (reference: implementation.py:210, :226, :298), followed by a
+    CholeskyQR refinement pass (see `cholesky_qr_refine` — TPU's large-N
+    SVD is only ~3e-7 orthonormal on its own).
     """
-    return jnp.linalg.svd(q, full_matrices=False)[0]
+    u = jnp.linalg.svd(q, full_matrices=False)[0]
+    return cholesky_qr_refine(u)
 
 
 def orthonormalize_svd_masked(
@@ -57,7 +94,8 @@ def orthonormalize_svd_masked(
     u = jnp.linalg.svd(q * mask, full_matrices=False)[0]
     if u.shape[1] < k:  # K > N: thin SVD returns [N, N]; restore padding
         u = jnp.pad(u, ((0, 0), (0, k - u.shape[1])))
-    return u * mask
+    u = u * mask
+    return cholesky_qr_refine(u, mask) * mask
 
 
 def orthonormalize_append_cgs2(
@@ -90,8 +128,8 @@ def orthonormalize_append_cgs2(
         mask = column_mask(k, nc, q.dtype)
 
         def project_out(v):
-            coeffs = (q.conj().T @ v) * mask
-            return v - q @ coeffs
+            coeffs = precise_matmul(q.conj().T, v) * mask
+            return v - jnp.matmul(q, coeffs, precision=_HI)
 
         v = project_out(project_out(v))
         norm = jnp.linalg.norm(v)

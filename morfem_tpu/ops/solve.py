@@ -35,7 +35,10 @@ from jax import lax
 
 from morfem_tpu.config import MorfemConfig, DEFAULT_CONFIG
 from morfem_tpu.ops.assembly import assemble_at
+from morfem_tpu.ops.precision import precise_matmul
 from morfem_tpu.system import AffineSystem
+
+_HI = jax.lax.Precision.HIGHEST  # TPU f64 matmuls degrade at default precision
 
 
 def factor_dtype_like(dtype, factor_dtype_name: str):
@@ -115,12 +118,34 @@ def lu_solve_refined(
     if needs_refine:
         a_w = a.astype(work_dtype)
         b_w = b.astype(work_dtype)
+        b_norm = jnp.linalg.norm(b_w)
+        rdtype = jnp.zeros((), work_dtype).real.dtype
+        # converge to working precision; the greedy deliberately samples
+        # near-resonance points where cond(A)·ε_f32 approaches 1, so the
+        # contraction per step can be slow (~0.8) — iterate adaptively
+        # instead of a fixed two steps, and stop on stagnation.
+        tol = 10 * jnp.finfo(work_dtype).eps * b_norm
 
-        def body(_, x):
-            r = b_w - a_w @ x
-            return x + factored_solve(r)
+        def cond_fn(state):
+            _, _, r_norm, r_prev, it = state
+            improving = r_norm < 0.95 * r_prev
+            return jnp.logical_and(
+                jnp.logical_and(r_norm > tol, improving),
+                it < refine_iterations,
+            )
 
-        x = lax.fori_loop(0, refine_iterations, body, x)
+        def body_fn(state):
+            x, r, r_norm, _, it = state
+            x = x + factored_solve(r)
+            r_new = b_w - precise_matmul(a_w, x)
+            return (x, r_new, jnp.linalg.norm(r_new), r_norm, it + 1)
+
+        r0 = b_w - precise_matmul(a_w, x)
+        state = (
+            x, r0, jnp.linalg.norm(r0), jnp.asarray(jnp.inf, rdtype),
+            jnp.asarray(0),
+        )
+        x, _, _, _, _ = lax.while_loop(cond_fn, body_fn, state)
     return x
 
 
@@ -147,7 +172,7 @@ def inv_refined(
         jnp.finfo(work_dtype).bits > jnp.finfo(factor_dtype).bits
     ):
         def body(_, x):
-            r = eye - a @ x
+            r = eye - jnp.matmul(a, x, precision=_HI)
             d = jsl.lu_solve((lu, piv), r.astype(factor_dtype))
             return x + d.astype(work_dtype)
 

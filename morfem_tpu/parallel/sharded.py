@@ -20,6 +20,7 @@ from jax import shard_map
 from morfem_tpu.config import MorfemConfig, DEFAULT_CONFIG
 from morfem_tpu.mor.reduced import ReducedModel, assemble_reduced, solve_reduced_batch
 from morfem_tpu.ops.orthonormalize import orthonormalize_svd
+from morfem_tpu.ops.precision import precise_matmul
 from morfem_tpu.ops.solve import lu_solve_refined, factor_dtype_like
 from morfem_tpu.system import AffineSystem
 
@@ -177,10 +178,10 @@ def multi_geometry_mor(
         rm = ReducedModel(
             domain=dom,
             q=q,
-            r0=qt @ (a0g @ q),
-            r1=qt @ (a1g @ q),
-            r2=qt @ (a2g @ q),
-            b_r=qt @ bg,
+            r0=precise_matmul(qt, precise_matmul(a0g, q)),
+            r1=precise_matmul(qt, precise_matmul(a1g, q)),
+            r2=precise_matmul(qt, precise_matmul(a2g, q)),
+            b_r=precise_matmul(qt, bg),
             ncols=jnp.asarray(q.shape[1]),
             t_a0=t_a0,
             t_a1=t_a1,
