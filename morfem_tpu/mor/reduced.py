@@ -183,13 +183,34 @@ def solve_reduced_batch(
     x = jsl.lu_solve((lu, piv), rhs.astype(fd)).astype(work_dtype)
     if config.refine_iterations > 0 and jnp.finfo(work_dtype).bits > jnp.finfo(fd).bits:
         a_w, rhs_w = a.astype(work_dtype), rhs.astype(work_dtype)
+        rdtype = jnp.zeros((), work_dtype).real.dtype
+        b_norm = jnp.linalg.norm(rhs_w)
+        tol = 10 * jnp.finfo(work_dtype).eps * b_norm
 
-        def body(_, x):
-            r = rhs_w - jnp.matmul(a_w, x, precision=_HI)
+        # adaptive refinement with a batch-global criterion: well-
+        # conditioned reduced systems converge in 2-3 steps; the cap only
+        # binds near resonances (mirrors ops/solve.lu_solve_refined)
+        def cond_fn(state):
+            _, _, r_norm, r_prev, it = state
+            improving = r_norm < 0.95 * r_prev
+            return jnp.logical_and(
+                jnp.logical_and(r_norm > tol, improving),
+                it < config.refine_iterations,
+            )
+
+        def body_fn(state):
+            x, r, r_norm, _, it = state
             d = jsl.lu_solve((lu, piv), r.astype(fd))
-            return x + d.astype(work_dtype)
+            x = x + d.astype(work_dtype)
+            r_new = rhs_w - jnp.matmul(a_w, x, precision=_HI)
+            return (x, r_new, jnp.linalg.norm(r_new), r_norm, it + 1)
 
-        x = lax.fori_loop(0, config.refine_iterations, body, x)
+        r0 = rhs_w - jnp.matmul(a_w, x, precision=_HI)
+        state = (
+            x, r0, jnp.linalg.norm(r0), jnp.asarray(jnp.inf, rdtype),
+            jnp.asarray(0),
+        )
+        x, _, _, _, _ = lax.while_loop(cond_fn, body_fn, state)
     return x
 
 

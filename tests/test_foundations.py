@@ -220,3 +220,40 @@ class TestOrthonormalize:
     def test_column_mask(self):
         m = np.asarray(column_mask(8, jnp.asarray(3)))
         np.testing.assert_array_equal(m, [1, 1, 1, 0, 0, 0, 0, 0])
+
+
+class TestCholeskyQRRefine:
+    def test_refines_perturbed_basis(self):
+        from morfem_tpu.ops.orthonormalize import cholesky_qr_refine
+
+        rng = np.random.default_rng(0)
+        q = np.linalg.qr(rng.normal(size=(200, 12)))[0]
+        # perturb like TPU's large-N SVD (~3e-7 off orthonormal)
+        q_bad = q + 3e-7 * rng.normal(size=q.shape)
+        q_ref = np.asarray(cholesky_qr_refine(jnp.asarray(q_bad)))
+        orth = np.abs(q_ref.T @ q_ref - np.eye(12)).max()
+        assert orth < 1e-13, orth
+        # span preserved
+        p1 = q_ref @ q_ref.T
+        p2 = q_bad @ np.linalg.inv(q_bad.T @ q_bad) @ q_bad.T
+        np.testing.assert_allclose(p1, p2, atol=1e-10)
+
+    def test_masked_padding_stays_zero(self):
+        from morfem_tpu.ops.orthonormalize import cholesky_qr_refine
+
+        rng = np.random.default_rng(1)
+        q = np.zeros((100, 10))
+        q[:, :6] = np.linalg.qr(rng.normal(size=(100, 6)))[0]
+        mask = jnp.asarray((np.arange(10) < 6).astype(float))
+        out = np.asarray(cholesky_qr_refine(jnp.asarray(q), mask))
+        assert np.all(out[:, 6:] == 0.0)
+        np.testing.assert_allclose(
+            out[:, :6].T @ out[:, :6], np.eye(6), atol=1e-13
+        )
+
+    def test_singular_input_passthrough(self):
+        from morfem_tpu.ops.orthonormalize import cholesky_qr_refine
+
+        q = jnp.zeros((50, 4), jnp.float64)
+        out = cholesky_qr_refine(q)
+        assert np.all(np.asarray(out) == 0.0)
