@@ -71,7 +71,9 @@ def main():
     )
     freq = np.linspace(3e9, 5e9, N_POINTS)
     sys_ = waveguide_system(freq, data)
-    cfg = MorfemConfig(solve_chunk=16, error_threshold=1e-8)
+    cfg = MorfemConfig(
+        solve_chunk=16, error_threshold=1e-8, orthonormalization="mgs"
+    )  # mgs: same convergence as svd at N=3411, 1.6x faster basis build
     log(f"N={sys_.n} M={sys_.m} I={N_POINTS} (synthetic={data.synthetic})")
 
     # ---- full-order baseline: AOT-compile, then time the execution ----

@@ -23,7 +23,14 @@ from morfem_tpu.mor.api import morfem, build_reduced_model
 from morfem_tpu.mor.reduced import ReducedModel, project, sweep
 from morfem_tpu.mor.greedy import greedy_basis, GreedyResult
 from morfem_tpu.mor.equally import equally_distributed_basis
-from morfem_tpu.mor.spectral import SpectralModel, prepare_spectral, spectral_sweep
+from morfem_tpu.mor.spectral import (
+    SpectralModel,
+    QuadraticSpectralModel,
+    prepare_spectral,
+    prepare_spectral_quadratic,
+    spectral_sweep,
+    spectral_sweep_quadratic,
+)
 from morfem_tpu.mor.estimator import (
     estimator_blocks,
     estimate_errors,
@@ -54,8 +61,11 @@ __all__ = [
     "GreedyResult",
     "equally_distributed_basis",
     "SpectralModel",
+    "QuadraticSpectralModel",
     "prepare_spectral",
+    "prepare_spectral_quadratic",
     "spectral_sweep",
+    "spectral_sweep_quadratic",
     "estimator_blocks",
     "estimate_errors",
     "estimate_errors_direct",

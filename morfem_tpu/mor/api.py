@@ -117,15 +117,29 @@ def morfem(
 
 
 def _run_sweep(rm: ReducedModel, config: MorfemConfig):
-    """Final sweep dispatch per `config.sweep_method` (auto/lu/spectral)."""
+    """Final sweep dispatch per `config.sweep_method`.
+
+    "auto": two-term diagonalization → quadratic (companion) diagonalization
+    → batched LU, first applicable wins. Each spectral variant costs one
+    small host-side factorization and sweeps in O(K·M) per point.
+    """
     if config.sweep_method == "lu":
         return sweep(rm, config)
-    from morfem_tpu.mor.spectral import prepare_spectral, spectral_sweep
+    from morfem_tpu.mor.spectral import (
+        prepare_spectral,
+        prepare_spectral_quadratic,
+        spectral_sweep,
+        spectral_sweep_quadratic,
+    )
 
     try:
-        sm = prepare_spectral(rm, config)
+        return spectral_sweep(prepare_spectral(rm, config))
     except ValueError:
         if config.sweep_method == "spectral":
             raise
+    try:
+        return spectral_sweep_quadratic(
+            prepare_spectral_quadratic(rm, config)
+        )
+    except ValueError:
         return sweep(rm, config)
-    return spectral_sweep(sm)

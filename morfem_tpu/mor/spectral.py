@@ -142,6 +142,149 @@ def prepare_spectral(
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class QuadraticSpectralModel:
+    """Diagonalized THREE-term (quadratic) reduced pencil (pytree).
+
+    Companion linearization of (R0 + c1·R1 + c2·R2)·x = cb·b_r in the
+    variable u = c1 (with c2 expressed through the coefficient functions
+    at sweep time this requires c2 = u² — i.e. the wave form t, t²; see
+    `prepare_spectral_quadratic`). Eigen-data is complex; it is stored as
+    split real/imaginary f64 arrays so the sweep runs on TPU (which has
+    no complex128): for each point,
+
+        x(t) = Re[ V_top · diag(cb/(u(t) − λ)) · w ]
+
+    with (λ, V) the companion eigenpairs and w the projected RHS.
+    """
+
+    lam_re: jax.Array  # [2K]
+    lam_im: jax.Array  # [2K]
+    vtop_re: jax.Array  # [K, 2K]
+    vtop_im: jax.Array  # [K, 2K]
+    w_re: jax.Array  # [2K, M]
+    w_im: jax.Array  # [2K, M]
+    mask: jax.Array  # [K]
+    rm: ReducedModel
+
+    def sweep(self, ts: Optional[jax.Array] = None) -> jax.Array:
+        return spectral_sweep_quadratic(self, ts)
+
+
+def prepare_spectral_quadratic(
+    rm: ReducedModel, config: MorfemConfig = DEFAULT_CONFIG
+) -> QuadraticSpectralModel:
+    """Diagonalize a quadratic pencil with the wave-form coefficients.
+
+    Requires the coefficient functions to satisfy c0 = 1, c2 = c1² (the
+    reference's default form t_a0=1, t_a1=t, t_a2=t²,
+    implementation.py:105-107) — verified numerically on the domain. The
+    companion linearization
+
+        (R0 + u·R1 + u²·R2)x = cb·b   ⇔
+        ([R0 R1] + u·[0  R2])·[x ]  = [cb·b]
+        ([0  -I]     [I  0 ])·[u·x]   [0   ]
+
+    reduces the sweep to a 2K-eigen decomposition (host, NumPy complex)
+    plus an O(K·M)-per-point evaluation in split-real arithmetic on TPU.
+    """
+    import numpy as np
+    import scipy.linalg as spl
+
+    c, cb = rm.coefficients(rm.domain)
+    c = np.asarray(c)
+    if not np.allclose(c[:, 0], 1.0, rtol=1e-12):
+        raise ValueError("quadratic spectral sweep requires t_a0 == 1")
+    if not np.allclose(c[:, 2], c[:, 1] ** 2, rtol=1e-12):
+        raise ValueError(
+            "quadratic spectral sweep requires t_a2 == t_a1**2 "
+            "(the wave-equation form)"
+        )
+
+    mask = column_mask(rm.k, rm.ncols, rm.r0.dtype)
+    mask_np = np.asarray(mask)
+    pad = np.diag(1.0 - mask_np)
+
+    def sym(a):
+        a = np.asarray(a, np.float64)
+        return (a + a.T) * 0.5
+
+    k = rm.k
+    r0 = sym(rm.r0) + pad
+    r1 = sym(rm.r1)
+    r2 = sym(rm.r2) + pad
+    b_m = np.asarray(rm.b_r, np.float64) * mask_np[:, None]
+
+    # scale balancing (see prepare_spectral): normalize by the u-scale so
+    # companion blocks are O(1)
+    u_scale = float(np.max(np.abs(c[:, 1]))) or 1.0
+    r1s = r1 * u_scale
+    r2s = r2 * (u_scale**2)
+
+    eye = np.eye(k)
+    zero = np.zeros((k, k))
+    l0 = np.block([[r0, r1s], [zero, -eye]])
+    l1 = np.block([[zero, r2s], [eye, zero]])
+    # generalized eigenproblem L0·V = −L1·V·Λ  (λ in scaled-u units)
+    lam, v = spl.eig(l0, -l1)
+    l1v = l1 @ v
+    rhs0 = np.concatenate([b_m, np.zeros((k, b_m.shape[1]))], axis=0)
+    w = np.linalg.solve(l1v, rhs0)  # [2K, M] complex
+    # fold the u scale back: 1/(û − λ̂) = u_scale/(u − λ·u_scale), so the
+    # physical-units eigenvalues gain a factor u_scale and so does w
+    lam = lam * u_scale
+    w = w * u_scale
+
+    dtype = rm.r0.dtype
+    return QuadraticSpectralModel(
+        lam_re=jnp.asarray(lam.real, dtype),
+        lam_im=jnp.asarray(lam.imag, dtype),
+        vtop_re=jnp.asarray(v[:k].real, dtype),
+        vtop_im=jnp.asarray(v[:k].imag, dtype),
+        w_re=jnp.asarray(w.real, dtype),
+        w_im=jnp.asarray(w.imag, dtype),
+        mask=mask,
+        rm=rm,
+    )
+
+
+def spectral_sweep_quadratic(
+    sm: QuadraticSpectralModel, ts: Optional[jax.Array] = None
+) -> jax.Array:
+    """Quadratic-pencil sweep in split-real f64 arithmetic — O(K·M)/point."""
+    from morfem_tpu.ops.precision import precise_matmul
+
+    rm = sm.rm
+    if ts is None:
+        ts = rm.domain
+    c, cb = rm.coefficients(ts)
+    u = c[:, 1]  # the linearization variable (c2 = u² verified at prepare)
+    # complex reciprocal 1/(u − λ) in split-real form
+    dre = u[:, None] - sm.lam_re[None, :]  # [I, 2K]
+    dim = -sm.lam_im[None, :] + jnp.zeros_like(dre)
+    denom = dre * dre + dim * dim
+    denom = jnp.where(denom == 0, 1e-300, denom)
+    inv_re = dre / denom
+    inv_im = -dim / denom
+    # y = diag(cb·inv) · w  → [I, 2K, M], split
+    y_re = cb[:, None, None] * (
+        inv_re[:, :, None] * sm.w_re[None] - inv_im[:, :, None] * sm.w_im[None]
+    )
+    y_im = cb[:, None, None] * (
+        inv_re[:, :, None] * sm.w_im[None] + inv_im[:, :, None] * sm.w_re[None]
+    )
+    # x = Re[V_top · y] = V_re·y_re − V_im·y_im  (batched over I)
+    x = jnp.einsum(
+        "kl,ilm->ikm", sm.vtop_re, y_re,
+        precision=jax.lax.Precision.HIGHEST,
+    ) - jnp.einsum(
+        "kl,ilm->ikm", sm.vtop_im, y_im,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return x * sm.mask[None, :, None]
+
+
 def spectral_sweep(
     sm: SpectralModel, ts: Optional[jax.Array] = None
 ) -> jax.Array:

@@ -178,3 +178,80 @@ class TestComplexCoefficients:
         # complex-symmetric (bilinear) Galerkin has a weaker quasi-
         # optimality constant than the real SPD case; 2-3e-8 observed
         assert rel < 1e-7, rel
+
+
+class TestQuadraticSpectral:
+    def _three_term_system(self, n=48, i_pts=20):
+        key = jax.random.PRNGKey(9)
+        domain, a0, a1, a2, b = random_affine_system(
+            key, n=n, m=2, num_points=i_pts
+        )
+        return AffineSystem.create(domain, a0, a1, a2, b)
+
+    def test_matches_lu_sweep(self):
+        from morfem_tpu import equally_distributed_basis, project
+        from morfem_tpu.mor.spectral import (
+            prepare_spectral_quadratic,
+            spectral_sweep_quadratic,
+        )
+
+        sys_ = self._three_term_system()
+        q = equally_distributed_basis(sys_, CFG, count=6)
+        rm = project(sys_, q)
+        sm = prepare_spectral_quadratic(rm, CFG)
+        x_spec = spectral_sweep_quadratic(sm)
+        x_lu = sweep(rm, CFG)
+        rel = np.linalg.norm(np.asarray(x_spec - x_lu)) / np.linalg.norm(
+            np.asarray(x_lu)
+        )
+        assert rel < 1e-9, rel
+
+    def test_padded_model(self):
+        from morfem_tpu import build_reduced_model
+        from morfem_tpu.mor.spectral import (
+            prepare_spectral_quadratic,
+            spectral_sweep_quadratic,
+        )
+
+        sys_ = self._three_term_system()
+        rm, _ = build_reduced_model(sys_, CFG.replace(error_threshold=1e-10))
+        sm = prepare_spectral_quadratic(rm, CFG)  # padded rm
+        x_spec = spectral_sweep_quadratic(sm)
+        x_lu = sweep(rm, CFG)
+        rel = np.linalg.norm(np.asarray(x_spec - x_lu)) / np.linalg.norm(
+            np.asarray(x_lu)
+        )
+        assert rel < 1e-9, rel
+
+    def test_regrid(self):
+        from morfem_tpu import equally_distributed_basis, project
+        from morfem_tpu.mor.spectral import (
+            prepare_spectral_quadratic,
+            spectral_sweep_quadratic,
+        )
+
+        sys_ = self._three_term_system()
+        q = equally_distributed_basis(sys_, CFG, count=6)
+        rm = project(sys_, q)
+        sm = prepare_spectral_quadratic(rm, CFG)
+        dense = jnp.linspace(3.1, 4.9, 333)
+        x_spec = spectral_sweep_quadratic(sm, dense)
+        x_lu = sweep(rm, CFG, ts=dense)
+        rel = np.linalg.norm(np.asarray(x_spec - x_lu)) / np.linalg.norm(
+            np.asarray(x_lu)
+        )
+        assert rel < 1e-9, rel
+
+    def test_rejects_non_wave_form(self):
+        from morfem_tpu import equally_distributed_basis, project
+        from morfem_tpu.mor.spectral import prepare_spectral_quadratic
+
+        key = jax.random.PRNGKey(10)
+        domain, a0, a1, a2, b = random_affine_system(key, n=24, m=1, num_points=8)
+        sys_ = AffineSystem.create(
+            domain, a0, a1, a2, b, t_a2=lambda t: t**3
+        )
+        q = equally_distributed_basis(sys_, CFG, count=3)
+        rm = project(sys_, q)
+        with pytest.raises(ValueError, match="t_a2"):
+            prepare_spectral_quadratic(rm, CFG)
