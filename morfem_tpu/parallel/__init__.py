@@ -7,6 +7,7 @@ from morfem_tpu.parallel.sharded import (
     sharded_sweep,
     tp_operator_images_and_project,
 )
+from morfem_tpu.parallel.tp_solve import tp_matvec_fn, tp_snapshot_basis, tp_solve
 
 __all__ = [
     "factorize_mesh",
@@ -15,4 +16,7 @@ __all__ = [
     "multi_geometry_mor",
     "sharded_sweep",
     "tp_operator_images_and_project",
+    "tp_matvec_fn",
+    "tp_snapshot_basis",
+    "tp_solve",
 ]

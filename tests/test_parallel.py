@@ -129,3 +129,47 @@ def test_multi_geometry_no_mesh_single_device():
     x, q = multi_geometry_mor(a0, a1, a2, b, dom, sidx, coeffs, CFG)
     assert x.shape == (2, 8, 2, 1)
     assert bool(jnp.isfinite(x).all())
+
+
+def test_tp_solve_matches_dense(eight_devices):
+    from morfem_tpu.parallel.tp_solve import tp_solve
+
+    mesh = make_mesh(dp=1, sp=1, tp=8)
+    rng = np.random.default_rng(5)
+    n = 64
+    a = rng.normal(size=(n, n)) / n
+    a = (a + a.T) / 2 + np.eye(n) * 3
+    b = rng.normal(size=(n, 2))
+    x, relres = tp_solve(jnp.asarray(a), jnp.asarray(b), mesh, tol=1e-12)
+    assert float(jnp.max(relres)) < 1e-10
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(a, b), rtol=1e-7, atol=1e-10
+    )
+
+
+def test_tp_snapshot_basis_pipeline(eight_devices):
+    from morfem_tpu.mor.reduced import ReducedModel
+    from morfem_tpu.parallel.tp_solve import tp_snapshot_basis
+
+    mesh = make_mesh(dp=1, sp=1, tp=8)
+    key = jax.random.PRNGKey(6)
+    domain, a0, a1, a2, b = random_affine_system(key, n=64, m=2, num_points=16)
+    sys = AffineSystem.create(domain, a0, a1, a2, b)
+    seed_ts = sys.domain[jnp.asarray([0, 7, 15])]
+    q, rs, b_r, worst = tp_snapshot_basis(sys, seed_ts, mesh, CFG, tol=1e-12)
+    assert worst < 1e-10
+    rm = ReducedModel(
+        domain=sys.domain, q=q, r0=rs[0], r1=rs[1], r2=rs[2], b_r=b_r,
+        ncols=jnp.asarray(q.shape[1]),
+        t_a0=sys.t_a0, t_a1=sys.t_a1, t_a2=sys.t_a2, t_b=sys.t_b,
+    )
+    x = sweep(rm, CFG)
+    # single-device oracle through the dense pipeline
+    from morfem_tpu import equally_distributed_basis
+
+    qd = equally_distributed_basis(sys, CFG, count=3)
+    rmd = project(sys, qd)
+    xd = sweep(rmd, CFG)
+    rec_tp = np.einsum("nk,ikm->inm", np.asarray(q), np.asarray(x))
+    rec_d = np.einsum("nk,ikm->inm", np.asarray(qd), np.asarray(xd))
+    np.testing.assert_allclose(rec_tp, rec_d, atol=1e-7)
