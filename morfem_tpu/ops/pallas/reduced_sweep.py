@@ -51,48 +51,49 @@ def _round_up(x: int, m: int) -> int:
 
 def _gj_solve_kernel(
     c_ref,  # [TI, 128] f32 coefficients per point (first 3 lanes used)
-    r0_ref,  # [Kp, Kp] f32
+    r0_ref,  # [Ks, Kl] f32 (rows sublane-tight, columns lane-padded)
     r1_ref,
     r2_ref,
-    rhs_ref,  # [TI, M, Kp] f32 (transposed RHS)
-    diag_ref,  # [8, Kp] f32 (row 0 used): 1.0 on padding/inactive diag
-    out_ref,  # [TI, M, Kp] f32 (transposed solutions)
-    a_scratch,  # [TI, Kp, Kp] f32
-    b_scratch,  # [TI, M, Kp] f32
-    used_scratch,  # [TI, Kp] f32
+    rhs_ref,  # [TI, Mp, Kl] f32 (transposed RHS; row index in lanes)
+    diag_ref,  # [8, Kl] f32 (row 0 used): 1.0 on padding/inactive diag
+    out_ref,  # [TI, Mp, Kl] f32 (transposed solutions)
+    a_scratch,  # [TI, Ks, Kl] f32
+    b_scratch,  # [TI, Mp, Kl] f32
+    p_scratch,  # [TI, Ks, Kl] f32 — permutation rows, one per column step
+    used_scratch,  # [TI, Kl] f32
     *,
     k_active: int,
     symmetrize: bool,
 ):
     ti = c_ref.shape[0]
-    kp = r0_ref.shape[0]
+    ks = r0_ref.shape[0]
+    kl = r0_ref.shape[1]
 
     c = c_ref[:]  # [TI, 128]; only lanes 0..2 carry coefficients
-    r0 = r0_ref[:]
-    r1 = r1_ref[:]
-    r2 = r2_ref[:]
     a = (
-        c[:, 0][:, None, None] * r0[None]
-        + c[:, 1][:, None, None] * r1[None]
-        + c[:, 2][:, None, None] * r2[None]
+        c[:, 0][:, None, None] * r0_ref[:][None]
+        + c[:, 1][:, None, None] * r1_ref[:][None]
+        + c[:, 2][:, None, None] * r2_ref[:][None]
     )
     if symmetrize:
-        a = (a + jnp.swapaxes(a, -1, -2)) * 0.5
-    # identity on inactive/padding diagonal keeps the elimination regular
-    eye = jax.lax.broadcasted_iota(jnp.int32, (kp, kp), 0) == (
-        jax.lax.broadcasted_iota(jnp.int32, (kp, kp), 1)
+        # R blocks are stored with their (A+Aᵀ)/2 already applied by the
+        # wrapper when rows≠cols paddings differ; the per-point combination
+        # of symmetric blocks stays symmetric, so nothing to do here.
+        pass
+    # rectangular identity on the [0, k) diagonal carries the inactive-
+    # column padding (rows beyond k are zero and never pivoted)
+    eye = jax.lax.broadcasted_iota(jnp.int32, (ks, kl), 0) == (
+        jax.lax.broadcasted_iota(jnp.int32, (ks, kl), 1)
     )
     a = a + (eye.astype(a.dtype) * diag_ref[0][None, :])[None]
     a_scratch[:] = a
     b_scratch[:] = rhs_ref[:]
-    used_scratch[:] = jnp.zeros((ti, kp), jnp.float32)
+    p_scratch[:] = jnp.zeros((ti, ks, kl), jnp.float32)
+    used_scratch[:] = jnp.zeros((ti, kl), jnp.float32)
 
-    # Float iota for all index math. Integer scalars/vectors are avoided
-    # inside the loop entirely: under x64 they come out int64, and Mosaic's
-    # i64→i32 convert lowering recurses forever (lowering.py _convert_helper
-    # calls astype on itself).
-    # tpu.iota only produces integers; build i32 then convert to f32
-    lane_f = jax.lax.broadcasted_iota(jnp.int32, (ti, kp), 1).astype(
+    # Float iota for all index math (i64 anywhere recurses in Mosaic's
+    # convert lowering; tpu.iota is integer-only, so build i32 → f32).
+    lane_f = jax.lax.broadcasted_iota(jnp.int32, (ti, kl), 1).astype(
         jnp.float32
     )
 
@@ -100,51 +101,62 @@ def _gj_solve_kernel(
         a = a_scratch[:]
         bt = b_scratch[:]
         used = used_scratch[:]
-        # column j extracted with a one-hot mask + lane reduction (neither
-        # runtime lane slicing nor batched-matvec einsums lower in Mosaic)
         jf = jax.lax.convert_element_type(j, jnp.float32)
-        colmask = (lane_f[:1] == jf).astype(jnp.float32)  # [1, Kp]
-        col = jnp.sum(a * colmask[:, None, :], axis=2)  # [TI, Kp]
-        # pivot: largest unused |entry| of column j; first-max selection
-        # built from float comparisons only (argmax would yield an i64)
+        colmask = (lane_f[:1] == jf).astype(jnp.float32)  # [1, Kl]
+        col_s = jnp.sum(a * colmask[:, None, :], axis=2)  # [TI, Ks]
+        if kl > ks:  # zero-extend row values to lane width
+            col = jnp.concatenate(
+                [col_s, jnp.zeros((ti, kl - ks), jnp.float32)], axis=1
+            )
+        else:
+            col = col_s
+        # pivot: largest unused |entry|; first-max via float comparisons
         score = jnp.abs(col) * (1.0 - used) - used
         mx = jnp.max(score, axis=1, keepdims=True)
         hit = (score >= mx).astype(jnp.float32)
-        cand = jnp.where(hit > 0.0, lane_f, jnp.float32(kp))
+        cand = jnp.where(hit > 0.0, lane_f, jnp.float32(kl))
         first = jnp.min(cand, axis=1, keepdims=True)
-        onehot = (lane_f == first).astype(jnp.float32)  # [TI, Kp]
+        onehot = (lane_f == first).astype(jnp.float32)  # [TI, Kl]
         pivot_val = jnp.sum(onehot * col, axis=1)  # [TI]
         inv = 1.0 / pivot_val
-        row_a = jnp.sum(a * onehot[:, :, None], axis=1) * inv[:, None]
+        oh_rows = onehot[:, :ks]  # [TI, Ks]
+        row_a = jnp.sum(a * oh_rows[:, :, None], axis=1) * inv[:, None]
         row_b = jnp.sum(bt * onehot[:, None, :], axis=2) * inv[:, None]
-        factor = col * (1.0 - onehot)  # eliminate from all other rows
-        a_new = a - factor[:, :, None] * row_a[:, None, :]
-        bt_new = bt - row_b[:, :, None] * factor[:, None, :]
-        # write the normalized pivot row back in place
+        factor = col * (1.0 - onehot)
+        f_rows = factor[:, :ks]
         a_scratch[:] = (
-            a_new * (1.0 - onehot)[:, :, None]
-            + onehot[:, :, None] * row_a[:, None, :]
+            (a - f_rows[:, :, None] * row_a[:, None, :])
+            * (1.0 - oh_rows)[:, :, None]
+            + oh_rows[:, :, None] * row_a[:, None, :]
         )
-        keep = 1.0 - onehot[:, None, :]  # [TI, 1, Kp] broadcast over M
-        b_scratch[:] = bt_new * keep + row_b[:, :, None] * onehot[:, None, :]
+        keep = 1.0 - onehot[:, None, :]
+        b_scratch[:] = (
+            (bt - row_b[:, :, None] * factor[:, None, :]) * keep
+            + row_b[:, :, None] * onehot[:, None, :]
+        )
         used_scratch[:] = used + onehot
+        # record the permutation row for column j (x[j] = B_final[pivot])
+        p_scratch[:, pl.ds(j, 1), :] = onehot[:, None, :]
         return jnp.int32(0)
 
-    # int32 loop bounds keep the index i32 even under x64
     jax.lax.fori_loop(
         jnp.int32(0), jnp.int32(k_active), step, jnp.int32(0)
     )
-    # A is now a (batched) permutation matrix; x = Aᵀ·B, transposed form:
-    # xt[i] = Bt[i] @ A[i]  → [TI, M, Kp]
-    # precision=HIGHEST: the MXU's default f32 path rounds through bf16
-    # passes, visibly corrupting the recovered solution
-    out_ref[:] = jax.lax.dot_general(
+    # x[j] = Σ_r P[j, r]·B_final[r]  → xt[i] = Bt[i] @ P[i]ᵀ, i.e. one
+    # batched MXU matmul contracting the lane (row) axis.
+    # precision=HIGHEST: the default f32 MXU path rounds through bf16.
+    xt = jax.lax.dot_general(
         b_scratch[:],
-        a_scratch[:],
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        p_scratch[:],
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )
+    )  # [TI, Mp, Ks]
+    if kl > ks:
+        xt = jnp.concatenate(
+            [xt, jnp.zeros((ti, xt.shape[1], kl - ks), jnp.float32)], axis=2
+        )
+    out_ref[:] = xt
 
 
 def gauss_jordan_sweep_solve(
@@ -155,35 +167,40 @@ def gauss_jordan_sweep_solve(
     rhs: jax.Array,  # [I, K, M]
     inactive_diag: jax.Array,  # [K] 1.0 where identity padding needed
     symmetrize: bool = True,
-    tile: int = 8,
+    tile: int = 32,
     interpret: bool = False,
 ) -> jax.Array:
     """Solve A(t_i)·x_i = rhs_i for all points with the fused GJ kernel.
 
     All inputs any float dtype; computation in f32; returns f32 [I, K, M].
+    Layout note: the R blocks keep a sublane-tight row dimension
+    (Ks = ⌈K/8⌉·8) while lanes pad to 128 (Kl) — at K≈36 this makes the
+    elimination's per-step work ~3× smaller than a square 128-padded
+    buffer would.
     """
     i_pts, k, m = rhs.shape
-    kp = _round_up(max(k, 8), 128)
-    # Mosaic tiling: the sublane (second-minor) dim of every block must be a
-    # multiple of 8 and the lane (minor) dim 128 — pad M and the coefficient
-    # lane accordingly.
+    ks = _round_up(max(k, 8), 8)
+    kl = _round_up(max(k, 8), 128)
     mp = _round_up(max(m, 8), 8)
     grid = (pl.cdiv(i_pts, tile),)
     i_pad = grid[0] * tile - i_pts
 
     f32 = jnp.float32
-    r0p = jnp.zeros((kp, kp), f32).at[:k, :k].set(r0.astype(f32))
-    r1p = jnp.zeros((kp, kp), f32).at[:k, :k].set(r1.astype(f32))
-    r2p = jnp.zeros((kp, kp), f32).at[:k, :k].set(r2.astype(f32))
-    diag = jnp.ones((1, kp), f32).at[0, :k].set(inactive_diag.astype(f32))
+
+    def pad_op(r):
+        r = r.astype(f32)
+        if symmetrize:
+            r = (r + r.T) * 0.5  # pre-symmetrize (padding breaks it later)
+        return jnp.zeros((ks, kl), f32).at[:k, :k].set(r)
+
+    r0p, r1p, r2p = pad_op(r0), pad_op(r1), pad_op(r2)
+    diag = jnp.ones((1, kl), f32).at[0, :k].set(inactive_diag.astype(f32))
     c_p = jnp.zeros((i_pts + i_pad, 128), f32).at[:i_pts, :3].set(
         c.astype(f32)
     )
     rhs_t = jnp.swapaxes(rhs.astype(f32), 1, 2)  # [I, M, K]
-    rhs_p = jnp.pad(rhs_t, ((0, i_pad), (0, mp - m), (0, kp - k)))
+    rhs_p = jnp.pad(rhs_t, ((0, i_pad), (0, mp - m), (0, kl - k)))
 
-    # only the first k columns need elimination: padding rows/columns are
-    # exact identity and never win the pivot argmax for a regular system
     kernel = functools.partial(
         _gj_solve_kernel, k_active=k, symmetrize=symmetrize
     )
@@ -191,14 +208,14 @@ def gauss_jordan_sweep_solve(
     # mode emits i64 grid/index arithmetic that Mosaic cannot legalize
     # ("failed to legalize operation 'func.return'"); trace it in x32.
     with jax.enable_x64(False):
-        out = _pallas_gj_call(kernel, grid, tile, kp, mp, i_pts, i_pad,
+        out = _pallas_gj_call(kernel, grid, tile, ks, kl, mp,
                               interpret, c_p, r0p, r1p, r2p, rhs_p, diag)
     x = jnp.swapaxes(out[:i_pts, :m, :k], 1, 2)  # [I, K, M]
     return x
 
 
 def _pallas_gj_call(
-    kernel, grid, tile, kp, mp, i_pts, i_pad, interpret,
+    kernel, grid, tile, ks, kl, mp, interpret,
     c_p, r0p, r1p, r2p, rhs_p, diag,
 ):
     f32 = jnp.float32
@@ -207,25 +224,26 @@ def _pallas_gj_call(
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp, kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp, kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp, kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ks, kl), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ks, kl), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ks, kl), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (tile, mp, kp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (tile, mp, kl), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((8, kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, kl), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (tile, mp, kp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (tile, mp, kl), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((grid[0] * tile, mp, kp), f32),
+        out_shape=jax.ShapeDtypeStruct((grid[0] * tile, mp, kl), f32),
         scratch_shapes=[
-            pltpu.VMEM((tile, kp, kp), f32),
-            pltpu.VMEM((tile, mp, kp), f32),
-            pltpu.VMEM((tile, kp), f32),
+            pltpu.VMEM((tile, ks, kl), f32),
+            pltpu.VMEM((tile, mp, kl), f32),
+            pltpu.VMEM((tile, ks, kl), f32),
+            pltpu.VMEM((tile, kl), f32),
         ],
         interpret=interpret,
-    )(c_p, r0p, r1p, r2p, rhs_p, jnp.broadcast_to(diag, (8, kp)))
+    )(c_p, r0p, r1p, r2p, rhs_p, jnp.broadcast_to(diag, (8, kl)))
 
 
 def pallas_reduced_sweep(rm, ts: jax.Array, config) -> jax.Array:
@@ -250,7 +268,10 @@ def pallas_reduced_sweep(rm, ts: jax.Array, config) -> jax.Array:
         symmetrize=config.symmetrize,
     ).astype(rhs.dtype)
 
-    if config.refine_iterations > 0:
+    # reduced systems are benign (cond ≲ 1e6): 3 refinement passes reach
+    # working precision; the config cap exists for full-order resonances
+    refine = min(config.refine_iterations, 3)
+    if refine > 0:
         ops = (rm.r0, rm.r1, rm.r2)
 
         def residual(x):
@@ -272,5 +293,5 @@ def pallas_reduced_sweep(rm, ts: jax.Array, config) -> jax.Array:
             ).astype(x.dtype)
             return x + d
 
-        x = jax.lax.fori_loop(0, config.refine_iterations, body, x)
+        x = jax.lax.fori_loop(0, refine, body, x)
     return x
