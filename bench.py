@@ -110,10 +110,12 @@ def main():
     # per rep to defeat any transparent result caching.
     def timed(fn, grids, reps):
         float(jnp.sum(fn(grids[0])))  # warm + sync
-        t0 = time.perf_counter()
+        times = []
         for i in range(reps):
+            t0 = time.perf_counter()
             float(jnp.sum(fn(grids[(1 + i) % len(grids)])))
-        return (time.perf_counter() - t0) / reps
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))  # median: robust to tunnel jitter
 
     def reduced_sweep(rm, ts):
         a, rhs = assemble_reduced(rm, ts, cfg)
@@ -162,6 +164,13 @@ def main():
     log(f"dense re-sweep LU ({DENSE_POINTS} pts): {t_dense_lu*1e3:.1f} ms "
         f"({DENSE_POINTS/t_dense_lu:,.0f} points/s)")
 
+    from morfem_tpu.ops.pallas.reduced_sweep import pallas_reduced_sweep
+
+    pal_fn = jax.jit(lambda g: pallas_reduced_sweep(rm, g, cfg))
+    t_dense_pal = timed(pal_fn, dense_grids, reps=5)
+    log(f"dense re-sweep Pallas ({DENSE_POINTS} pts): {t_dense_pal*1e3:.1f} ms "
+        f"({DENSE_POINTS/t_dense_pal:,.0f} points/s)")
+
     sm = prepare_spectral(rm, cfg)
     sp_fn = jax.jit(lambda g: spectral_sweep(sm, g))
     t_dense = timed(sp_fn, dense_grids, reps=5)
@@ -190,6 +199,7 @@ def main():
             "gsm_error_max": gsm_err,
             "dense_points_per_s": round(DENSE_POINTS / t_dense),
             "dense_points_per_s_lu": round(DENSE_POINTS / t_dense_lu),
+            "dense_points_per_s_pallas": round(DENSE_POINTS / t_dense_pal),
             "spectral_vs_lu_rel": sp_rel,
             "device": str(jax.devices()[0]),
         },
