@@ -111,27 +111,45 @@ def solve_point_iterative(
     diag = op.diagonal(c)
     safe = jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)
 
-    def mv(x):
-        return op.matvec(c, x)
+    # `bind` (when offered) combines the operator for these coefficients
+    # ONCE, keeping the (large) bound operand a hoisted loop constant
+    mv = op.bind(c) if hasattr(op, "bind") else (lambda x: op.matvec(c, x))
 
     def precond(x):
-        return x / safe
+        return x / (safe[:, None] if x.ndim == 2 else safe)
 
-    def solve_col(b_col):
-        if method == "gmres":
+    if method == "gmres":
+        def solve_col(b_col):
             x, _ = jax.scipy.sparse.linalg.gmres(
                 mv, b_col, tol=tol, maxiter=maxiter, M=precond,
                 solve_method="batched",
             )
-        else:
-            x, _ = jax.scipy.sparse.linalg.bicgstab(
-                mv, b_col, tol=tol, maxiter=maxiter, M=precond
-            )
-        return x
+            return x
 
-    x = jax.vmap(solve_col, in_axes=1, out_axes=1)(rhs)
+        x = jax.vmap(solve_col, in_axes=1, out_axes=1)(rhs)
+    else:
+        # block BiCGStab over all columns at once: one matvec per iteration
+        # serves every RHS, and no vmap touches the (possibly Pallas)
+        # operator — see ops/krylov.py for why jax.scipy's solver can't be
+        # used here
+        from morfem_tpu.ops.krylov import bicgstab
+
+        x, _ = bicgstab(mv, rhs, precond=precond, tol=tol, maxiter=maxiter)
+        if hasattr(op, "bind_precise"):
+            # the fast matvec may be f32 (Pallas kernel): polish with a few
+            # outer refinement steps whose residuals use the working-dtype
+            # reference matvec (cheap elementwise work)
+            mv_precise = op.bind_precise(c)
+            for _ in range(3):
+                r = rhs - mv_precise(x.astype(rhs.dtype))
+                d, _ = bicgstab(mv, r.astype(x.dtype), precond=precond,
+                                tol=1e-4, maxiter=maxiter)
+                x = x.astype(rhs.dtype) + d.astype(rhs.dtype)
     if return_residual:
-        r = rhs - op.matvec(c, x)
+        mv_res = op.bind_precise(c) if hasattr(op, "bind_precise") else (
+            lambda v: op.matvec(c, v)
+        )
+        r = rhs - mv_res(x)
         relres = jnp.linalg.norm(r, axis=0) / jnp.maximum(
             jnp.linalg.norm(rhs, axis=0), 1e-300
         )

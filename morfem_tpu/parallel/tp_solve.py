@@ -67,25 +67,26 @@ def tp_solve(
     diag = jnp.diagonal(a)
     safe = jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)
 
-    def mv_col(x_col):
-        return mv(a, x_col[:, None])[:, 0]
+    def precond(x_blk):
+        return x_blk / safe[:, None]
 
-    def precond(x_col):
-        return x_col / safe
+    if method == "gmres":
+        def mv_col(x_col):
+            return mv(a, x_col[:, None])[:, 0]
 
-    def solve_col(b_col):
-        if method == "gmres":
+        def solve_col(b_col):
             x, _ = jax.scipy.sparse.linalg.gmres(
-                mv_col, b_col, tol=tol, maxiter=maxiter, M=precond,
-                solve_method="batched",
+                mv_col, b_col, tol=tol, maxiter=maxiter,
+                M=lambda v: v / safe, solve_method="batched",
             )
-        else:
-            x, _ = jax.scipy.sparse.linalg.bicgstab(
-                mv_col, b_col, tol=tol, maxiter=maxiter, M=precond
-            )
-        return x
+            return x
 
-    x = jax.vmap(solve_col, in_axes=1, out_axes=1)(b)
+        x = jax.vmap(solve_col, in_axes=1, out_axes=1)(b)
+    else:
+        from morfem_tpu.ops.krylov import bicgstab
+
+        x, _ = bicgstab(lambda xx: mv(a, xx), b, precond=precond, tol=tol,
+                        maxiter=maxiter)
     r = b - mv(a, x)
     relres = jnp.linalg.norm(r, axis=0) / jnp.maximum(
         jnp.linalg.norm(b, axis=0), 1e-300

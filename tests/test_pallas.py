@@ -106,3 +106,73 @@ class TestPallasSweep:
             np.asarray(x_lu)
         )
         assert rel < 1e-10, rel
+
+
+class TestBandedMatvec:
+    def _banded_system(self, n=400, half=9, seed=0):
+        import scipy.sparse as sp
+
+        rng = np.random.default_rng(seed)
+        mats = []
+        for s in range(3):
+            diags = [rng.normal(size=n - abs(d))
+                     for d in range(-half, half + 1)]
+            a = sp.diags(diags, offsets=list(range(-half, half + 1)),
+                         format="csr")
+            a = (a + a.T) * 0.5
+            if s == 0:
+                a = a + sp.eye(n) * (3 * half)
+            mats.append(a)
+        return mats
+
+    def test_to_banded_roundtrip(self):
+        from morfem_tpu.ops.pallas.banded_matvec import to_banded
+
+        a = self._banded_system(60, 4)[0]
+        band, h = to_banded(a)
+        assert h == 4
+        # reconstruct and compare
+        dense = np.zeros((60, 60))
+        for d in range(-h, h + 1):
+            rows = np.arange(max(0, -d), min(60, 60 - d))
+            dense[rows, rows + d] = band[rows, d + h]
+        np.testing.assert_allclose(dense, a.toarray(), atol=1e-14)
+
+    def test_matvec_matches_dense(self):
+        from morfem_tpu.ops.pallas.banded_matvec import (
+            banded_matvec,
+            to_banded,
+        )
+
+        a = self._banded_system(300, 7)[0]
+        band, h = to_banded(a)
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(300, 2))
+        y = banded_matvec(
+            jnp.asarray(band), h, jnp.asarray(x), tile=64, interpret=True
+        )
+        ref = a @ x
+        rel = np.linalg.norm(np.asarray(y, np.float64) - ref) / np.linalg.norm(ref)
+        assert rel < 1e-6, rel
+
+    def test_operator_with_iterative_solver(self, monkeypatch):
+        from morfem_tpu.ops.pallas import banded_matvec as bm
+        from morfem_tpu.ops.sparse import solve_point_iterative
+
+        orig = bm.banded_matvec_padded
+        monkeypatch.setattr(
+            bm, "banded_matvec_padded",
+            lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+        )
+        a0, a1, a2 = self._banded_system(256, 5, seed=2)
+        op = bm.BandedAffineOperator(a0, a1, a2)
+        t = 1.3
+        c = jnp.asarray([1.0, t, t * t])
+        rng = np.random.default_rng(3)
+        rhs = jnp.asarray(rng.normal(size=(256, 2)))
+        x = solve_point_iterative(op, c, rhs, tol=1e-6)
+        a_dense = (a0 + t * a1 + t * t * a2).toarray()
+        rel = np.linalg.norm(a_dense @ np.asarray(x, np.float64)
+                             - np.asarray(rhs)) / np.linalg.norm(np.asarray(rhs))
+        # f32 kernel + f64 outer refinement → well below f32 accuracy
+        assert rel < 1e-9, rel
