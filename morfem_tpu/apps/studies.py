@@ -30,10 +30,9 @@ import numpy as np
 
 from morfem_tpu.config import MorfemConfig, DEFAULT_CONFIG
 from morfem_tpu.mor.reduced import ReducedModel, assemble_reduced, solve_reduced_batch
-from morfem_tpu.ops.orthonormalize import column_mask, orthonormalize_svd_masked
+from morfem_tpu.ops.orthonormalize import orthonormalize_svd_masked
 from morfem_tpu.ops.solve import solve_batch
 from morfem_tpu.system import AffineSystem
-from jax import lax
 
 
 class BasisSizeStudy(NamedTuple):

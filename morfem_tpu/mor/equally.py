@@ -13,7 +13,7 @@ masking needed — and all snapshot solves batch onto the MXU together.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

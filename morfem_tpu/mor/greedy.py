@@ -21,7 +21,7 @@ increments (see morfem_tpu.mor.estimator docstring).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -37,7 +37,7 @@ blocks) keep Hermitian inner products — those are norms, not projections.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ and plugs into the iterative solvers as a drop-in A(t)·x application.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,9 +25,6 @@ complex type.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl

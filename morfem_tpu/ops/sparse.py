@@ -27,16 +27,13 @@ dense path does (`morfem_tpu.parallel.sharded`).
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import sparse as jsparse
 
 from morfem_tpu.config import MorfemConfig, DEFAULT_CONFIG
-from morfem_tpu.system import AffineSystem
 
 
 def to_bcoo(a, dtype=None, nse: Optional[int] = None) -> jsparse.BCOO:

@@ -9,7 +9,6 @@ XLA insert collectives.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -22,7 +21,6 @@ from morfem_tpu.mor.reduced import ReducedModel, assemble_reduced, solve_reduced
 from morfem_tpu.ops.orthonormalize import orthonormalize_svd
 from morfem_tpu.ops.precision import precise_matmul
 from morfem_tpu.ops.solve import lu_solve_refined, factor_dtype_like
-from morfem_tpu.system import AffineSystem
 
 
 # ---------------------------------------------------------------------------
