@@ -176,3 +176,30 @@ class TestBandedMatvec:
                              - np.asarray(rhs)) / np.linalg.norm(np.asarray(rhs))
         # f32 kernel + f64 outer refinement → well below f32 accuracy
         assert rel < 1e-9, rel
+
+
+class TestGaussJordanLargeK:
+    def test_k_beyond_one_lane_chunk(self):
+        """K > 128 exercises kl = 256 lane padding and ks > 128 sublanes."""
+        rng = np.random.default_rng(7)
+        k, i_pts, m = 130, 12, 2
+        r0 = rng.normal(size=(k, k)) / k
+        r0 = (r0 + r0.T) / 2 + np.eye(k) * 20
+        r1 = (lambda a: (a + a.T) / 2)(rng.normal(size=(k, k)) / k)
+        r2 = (lambda a: (a + a.T) / 2)(rng.normal(size=(k, k)) / k)
+        c = np.stack([np.ones(i_pts), np.linspace(1, 2, i_pts),
+                      np.linspace(1, 2, i_pts) ** 2], axis=-1)
+        rhs = rng.normal(size=(i_pts, k, m))
+        x = gauss_jordan_sweep_solve(
+            jnp.asarray(r0), jnp.asarray(r1), jnp.asarray(r2),
+            jnp.asarray(c), jnp.asarray(rhs), jnp.zeros((k,)),
+            interpret=True,
+        )
+        for i in range(i_pts):
+            a = c[i, 0] * r0 + c[i, 1] * r1 + c[i, 2] * r2
+            a = (a + a.T) / 2
+            ref = np.linalg.solve(a, rhs[i])
+            rel = np.linalg.norm(np.asarray(x[i], np.float64) - ref) / (
+                np.linalg.norm(ref)
+            )
+            assert rel < 1e-4, (i, rel)
