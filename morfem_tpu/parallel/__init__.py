@@ -3,6 +3,7 @@
 from morfem_tpu.parallel.mesh import factorize_mesh, make_mesh
 from morfem_tpu.parallel.sharded import (
     batch_systems,
+    multi_geometry_greedy,
     multi_geometry_mor,
     sharded_sweep,
     tp_operator_images_and_project,
@@ -13,6 +14,7 @@ __all__ = [
     "factorize_mesh",
     "make_mesh",
     "batch_systems",
+    "multi_geometry_greedy",
     "multi_geometry_mor",
     "sharded_sweep",
     "tp_operator_images_and_project",

@@ -207,3 +207,46 @@ def multi_geometry_mor(
         return x, q
 
     return jax.jit(sharded_fn)(a0, a1, a2, b, domain)
+
+
+def multi_geometry_greedy(
+    a0: jax.Array,  # [G, N, N]
+    a1: jax.Array,
+    a2: jax.Array,
+    b: jax.Array,  # [G, N, M]
+    domain: jax.Array,  # [G, I]
+    coeffs,
+    config: MorfemConfig = DEFAULT_CONFIG,
+    mesh: Optional[Mesh] = None,
+):
+    """GREEDY MOR for a batch of independent geometries — vmapped.
+
+    The compiled greedy loop (padded basis + masks, mor/greedy.py) is
+    vmappable as-is: under vmap the while_loop runs until every geometry's
+    convergence flag is set, with already-converged lanes passing through
+    the identity branch. Each geometry gets its own adaptive basis size
+    (`result.ncols` per lane). With a mesh the geometry axis is
+    dp-sharded. Returns the batched GreedyResult.
+    """
+    from morfem_tpu.mor.greedy import greedy_basis
+    from morfem_tpu.system import AffineSystem
+
+    t_a0, t_a1, t_a2, t_b = coeffs
+
+    def one(dom, a0g, a1g, a2g, bg):
+        sys = AffineSystem(dom, a0g, a1g, a2g, bg, t_a0, t_a1, t_a2, t_b)
+        return greedy_basis(sys, config)
+
+    fn = jax.vmap(one)
+    if mesh is None:
+        return jax.jit(fn)(domain, a0, a1, a2, b)
+
+    gshard = NamedSharding(mesh, P("dp", "tp", None))
+
+    def sharded(domain, a0, a1, a2, b):
+        a0 = jax.lax.with_sharding_constraint(a0, gshard)
+        a1 = jax.lax.with_sharding_constraint(a1, gshard)
+        a2 = jax.lax.with_sharding_constraint(a2, gshard)
+        return fn(domain, a0, a1, a2, b)
+
+    return jax.jit(sharded)(domain, a0, a1, a2, b)

@@ -173,3 +173,32 @@ def test_tp_snapshot_basis_pipeline(eight_devices):
     rec_tp = np.einsum("nk,ikm->inm", np.asarray(q), np.asarray(x))
     rec_d = np.einsum("nk,ikm->inm", np.asarray(qd), np.asarray(xd))
     np.testing.assert_allclose(rec_tp, rec_d, atol=1e-7)
+
+
+def test_multi_geometry_greedy(eight_devices):
+    from morfem_tpu.parallel.sharded import multi_geometry_greedy
+    from morfem_tpu import greedy_basis
+
+    mesh = make_mesh(dp=2, sp=2, tp=2)
+    cfg = CFG.replace(max_greedy_iterations=10)
+    keys = jax.random.split(jax.random.PRNGKey(8), 4)
+    systems = []
+    for key in keys:
+        domain, a0, a1, a2, b = random_affine_system(
+            key, n=48, m=2, num_points=16
+        )
+        systems.append(AffineSystem.create(domain, a0, a1, a2, b))
+    a0, a1, a2, b, dom = batch_systems(systems)
+    coeffs = (
+        systems[0].t_a0, systems[0].t_a1, systems[0].t_a2, systems[0].t_b,
+    )
+    res = multi_geometry_greedy(a0, a1, a2, b, dom, coeffs, cfg, mesh=mesh)
+    assert bool(jnp.all(res.converged))
+    # spans must match the serial greedy per geometry (SVD signs may differ)
+    for g, sys in enumerate(systems):
+        rs = greedy_basis(sys, cfg)
+        nc_b, nc_s = int(res.ncols[g]), int(rs.ncols)
+        assert nc_b == nc_s
+        qb = np.asarray(res.q[g])[:, :nc_b]
+        qs = np.asarray(rs.q)[:, :nc_s]
+        np.testing.assert_allclose(qb @ qb.T, qs @ qs.T, atol=1e-9)
