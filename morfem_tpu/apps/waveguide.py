@@ -388,7 +388,9 @@ def mor_gsm(
     rm, greedy_result = build_reduced_model(sys, config, timer)
     rm = rm.trim()
     with timer.phase("reduced sweep"):
-        x_r = sweep(rm, config)
+        from morfem_tpu.mor.api import _run_sweep
+
+        x_r = _run_sweep(rm, config)  # auto: spectral when the pencil allows
         jax.block_until_ready(x_r)
     with timer.phase("gsm"):
         _, cb = rm.coefficients(rm.domain)
