@@ -76,7 +76,9 @@ def main():
     sys_ = AffineSystem.create(
         base.domain, a0, a1, a2, b, t_b=base.t_b
     )
-    cfg = MorfemConfig(solve_chunk=2)
+    # XLA's LuDecompositionBlock exceeds its 16 MB scoped-VMEM budget when
+    # batching N ≳ 6k factorizations; solve one at a time beyond that
+    cfg = MorfemConfig(solve_chunk=1 if n > 5000 else 2)
 
     t0 = time.perf_counter()
     if args.sparse:

@@ -47,6 +47,9 @@ class MorfemConfig:
         (~cond·ε_f32 per step) and genuinely need ~20 steps.
       solve_chunk: number of full-order systems materialized/factored at once
         in batched full-order sweeps (bounds HBM: chunk × N² × dtype bytes).
+        NOTE: XLA's TPU LU kernel has a 16 MB scoped-VMEM budget that the
+        BATCHED factorization exhausts around N ≳ 6k — use solve_chunk=1
+        for very large N (the compile error names LuDecompositionBlock).
       use_pallas_reduced_sweep: run the reduced-model frequency sweep with the
         fused Pallas assemble+solve kernel instead of the XLA vmap path.
       symmetrize: apply the reference's `(A + Aᵀ)/2` symmetrization when
