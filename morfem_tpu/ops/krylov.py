@@ -76,3 +76,84 @@ def bicgstab(
     if squeeze:
         return x[:, 0], relres[0]
     return x, relres
+
+
+def gmres(
+    matvec: Callable,  # [N, 1] -> [N, 1] (applied column-wise)
+    b: jax.Array,  # [N, M] or [N]
+    precond: Callable = lambda x: x,
+    tol: float = 1e-10,
+    maxiter: int = 50,
+    restart: int = 32,
+) -> Tuple[jax.Array, jax.Array]:
+    """Restarted, right-preconditioned GMRES(m) — plain lax loops.
+
+    Columns are solved sequentially via `lax.map` (never vmap — that would
+    batch a Pallas operator's buffers into VMEM). `maxiter` counts OUTER
+    restarts; each runs `restart` full Arnoldi steps (static shapes).
+    Returns (x, relres per column).
+    """
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    n, m_cols = b.shape
+    work = b.dtype
+    eps = jnp.asarray(1e-300, jnp.zeros((), work).real.dtype)
+
+    def mv_col(x_col):
+        return matvec(x_col[:, None])[:, 0]
+
+    def solve_col(b_col):
+        b_norm = jnp.linalg.norm(b_col)
+        atol = tol * b_norm
+
+        def arnoldi_cycle(x):
+            r = b_col - mv_col(x)
+            beta = jnp.linalg.norm(r)
+            v0 = r / jnp.maximum(beta, eps)
+            v = jnp.zeros((n, restart + 1), work).at[:, 0].set(v0)
+            h = jnp.zeros((restart + 1, restart), work)
+
+            def step(j, carry):
+                v, h = carry
+                w = mv_col(precond(v[:, j]))
+                # modified Gram-Schmidt against all columns (masked ≤ j)
+                mask = (jnp.arange(restart + 1) <= j).astype(work)
+                coeffs = (v.conj().T @ w) * mask
+                w = w - v @ coeffs
+                # light re-orthogonalization pass
+                coeffs2 = (v.conj().T @ w) * mask
+                w = w - v @ coeffs2
+                hj = coeffs + coeffs2
+                wn = jnp.linalg.norm(w)
+                h = h.at[:, j].set(hj)
+                h = h.at[j + 1, j].set(wn)
+                v = v.at[:, j + 1].set(w / jnp.maximum(wn, eps))
+                return (v, h)
+
+            v, h = jax.lax.fori_loop(0, restart, step, (v, h))
+            e1 = jnp.zeros((restart + 1,), work).at[0].set(beta)
+            y = jnp.linalg.lstsq(h, e1)[0]
+            return x + precond(v[:, :restart] @ y)
+
+        def cond(state):
+            x, k = state
+            r = jnp.linalg.norm(b_col - mv_col(x))
+            return jnp.logical_and(r > atol, k < maxiter)
+
+        def body(state):
+            x, k = state
+            return (arnoldi_cycle(x), k + 1)
+
+        x, _ = lax.while_loop(cond, body, (jnp.zeros_like(b_col),
+                                           jnp.asarray(0)))
+        relres = jnp.linalg.norm(b_col - mv_col(x)) / jnp.maximum(
+            b_norm, 1e-300
+        )
+        return x, relres
+
+    xs, rels = lax.map(solve_col, jnp.moveaxis(b, 1, 0))
+    x = jnp.moveaxis(xs, 0, 1)
+    if squeeze:
+        return x[:, 0], rels[0]
+    return x, rels

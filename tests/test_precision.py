@@ -59,3 +59,55 @@ def test_f32_passthrough():
     b = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
     got = precise_matmul(a, b)
     assert got.dtype == jnp.float32
+
+
+class TestKrylov:
+    def test_bicgstab_block(self):
+        from morfem_tpu.ops.krylov import bicgstab
+
+        rng = np.random.default_rng(0)
+        n = 80
+        a = rng.normal(size=(n, n)) / n + np.eye(n) * 4
+        a = (a + a.T) / 2
+        b = rng.normal(size=(n, 3))
+        aj = jnp.asarray(a)
+        x, rel = bicgstab(lambda v: aj @ v, jnp.asarray(b), tol=1e-12)
+        assert float(jnp.max(rel)) < 1e-10
+        np.testing.assert_allclose(
+            np.asarray(x), np.linalg.solve(a, b), rtol=1e-7, atol=1e-10
+        )
+
+    def test_gmres_nonsymmetric(self):
+        from morfem_tpu.ops.krylov import gmres
+
+        rng = np.random.default_rng(1)
+        n = 60
+        a = rng.normal(size=(n, n)) / n + np.eye(n) * 3  # nonsymmetric
+        b = rng.normal(size=(n, 2))
+        aj = jnp.asarray(a)
+        x, rel = gmres(lambda v: aj @ v, jnp.asarray(b), tol=1e-11,
+                       restart=20, maxiter=20)
+        assert float(jnp.max(rel)) < 1e-10, float(jnp.max(rel))
+        np.testing.assert_allclose(
+            np.asarray(x), np.linalg.solve(a, b), rtol=1e-6, atol=1e-9
+        )
+
+    def test_gmres_preconditioned_vector(self):
+        from morfem_tpu.ops.krylov import gmres
+
+        rng = np.random.default_rng(2)
+        n = 50
+        d = rng.uniform(1, 100, size=n)
+        a = np.diag(d) + rng.normal(size=(n, n)) / n
+        b = rng.normal(size=n)
+        aj = jnp.asarray(a)
+        dj = jnp.asarray(d)
+        x, rel = gmres(
+            lambda v: aj @ v, jnp.asarray(b),
+            precond=lambda v: v / dj[:, None] if v.ndim == 2 else v / dj,
+            tol=1e-11, restart=25, maxiter=10,
+        )
+        assert float(rel) < 1e-10
+        np.testing.assert_allclose(
+            np.asarray(x), np.linalg.solve(a, b), rtol=1e-6, atol=1e-9
+        )
