@@ -116,14 +116,10 @@ def solve_point_iterative(
         return x / (safe[:, None] if x.ndim == 2 else safe)
 
     if method == "gmres":
-        def solve_col(b_col):
-            x, _ = jax.scipy.sparse.linalg.gmres(
-                mv, b_col, tol=tol, maxiter=maxiter, M=precond,
-                solve_method="batched",
-            )
-            return x
+        from morfem_tpu.ops.krylov import gmres
 
-        x = jax.vmap(solve_col, in_axes=1, out_axes=1)(rhs)
+        x, _ = gmres(mv, rhs, precond=precond, tol=tol,
+                     maxiter=max(1, maxiter // 32), restart=32)
     else:
         # block BiCGStab over all columns at once: one matvec per iteration
         # serves every RHS, and no vmap touches the (possibly Pallas)
