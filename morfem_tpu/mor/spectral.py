@@ -56,6 +56,43 @@ class SpectralModel:
         return spectral_sweep(self, ts)
 
 
+def _reject_unsupported(rm: ReducedModel, config: MorfemConfig, quadratic: bool):
+    """Guard the real-symmetric diagonalization's assumptions.
+
+    Raises ValueError — which `_run_sweep`'s "auto" dispatch catches to
+    fall back to the batched-LU sweep — instead of silently computing a
+    wrong answer (ADVICE r1: np.asarray(a, float64) on complex input
+    discards the imaginary part with only a NumPy ComplexWarning, and the
+    unconditional (a+aᵀ)/2 disagrees with the LU sweep when
+    config.symmetrize=False and the reduced operators are non-symmetric).
+    """
+    import numpy as np
+
+    named = [("r0", rm.r0), ("r1", rm.r1), ("r2", rm.r2), ("b_r", rm.b_r)]
+    c, cb = rm.coefficients(rm.domain)
+    named += [("evaluated coefficients", c), ("evaluated t_b", cb)]
+    for name, a in named:
+        if np.iscomplexobj(a):
+            raise ValueError(
+                f"spectral sweep supports real systems only ({name} is "
+                "complex); use the batched-LU sweep"
+            )
+    if not config.symmetrize:
+        check = [("r0", rm.r0), ("r2", rm.r2)]
+        if quadratic:
+            check.append(("r1", rm.r1))
+        for name, a in check:
+            a = np.asarray(a, np.float64)
+            asym = np.linalg.norm(a - a.T)
+            if asym > 1e-9 * max(np.linalg.norm(a), 1e-300):
+                raise ValueError(
+                    f"spectral sweep symmetrizes {name} but "
+                    "config.symmetrize=False and it is not numerically "
+                    f"symmetric (‖a−aᵀ‖ = {asym:.2e}); use the "
+                    "batched-LU sweep"
+                )
+
+
 def _try_cholesky(s) -> Tuple:
     """NumPy Cholesky + validity flag. Host-side on purpose: `prepare` is
     a one-time offline step on K×K matrices, and native f64 beats TPU's
@@ -78,6 +115,7 @@ def prepare_spectral(
     Works on padded reduced models: padding rows carry an identity block
     that diagonalizes harmlessly, and padded entries of b_r are zero.
     """
+    _reject_unsupported(rm, config, quadratic=False)
     r1_norm = float(jnp.linalg.norm(rm.r1))
     scale = float(
         jnp.linalg.norm(rm.r0) + jnp.linalg.norm(rm.r2)
@@ -192,6 +230,7 @@ def prepare_spectral_quadratic(
     import numpy as np
     import scipy.linalg as spl
 
+    _reject_unsupported(rm, config, quadratic=True)
     c, cb = rm.coefficients(rm.domain)
     c = np.asarray(c)
     if not np.allclose(c[:, 0], 1.0, rtol=1e-12):

@@ -103,6 +103,33 @@ def sharded_sweep(
     return run(rm, ts)
 
 
+def sharded_spectral_sweep(
+    sm,
+    mesh: Mesh,
+    ts: Optional[jax.Array] = None,
+    axis: str = "sp",
+) -> jax.Array:
+    """Spectral (diagonalized) reduced sweep, domain axis sharded.
+
+    Works for both `SpectralModel` and `QuadraticSpectralModel`
+    (mor/spectral.py) — each point is an independent O(K·M) evaluation
+    against replicated eigen-data, so the sweep is embarrassingly
+    parallel over the ``sp`` axis, like `sharded_sweep`.
+    """
+    if ts is None:
+        ts = sm.rm.domain
+    ts = jax.lax.with_sharding_constraint(ts, NamedSharding(mesh, P(axis)))
+
+    @jax.jit
+    def run(sm, ts):
+        x = sm.sweep(ts)
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(axis, None, None))
+        )
+
+    return run(sm, ts)
+
+
 # ---------------------------------------------------------------------------
 # dp: multi-geometry MOR batches
 # ---------------------------------------------------------------------------

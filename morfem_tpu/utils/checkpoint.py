@@ -30,11 +30,18 @@ from morfem_tpu.system import (
 _FORMAT_VERSION = 1
 
 
+def _normalize_path(path: str) -> str:
+    """np.savez appends '.npz' when absent; mirror that in load so
+    save('model') / load('model') round-trips (ADVICE r1)."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_reduced_model(path: str, rm: ReducedModel, metadata: Optional[dict] = None):
     """Persist a ReducedModel to a single .npz file (host-side)."""
     meta = {"format_version": _FORMAT_VERSION}
     if metadata:
         meta.update(metadata)
+    path = _normalize_path(path)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez(
         path,
@@ -57,7 +64,7 @@ def load_reduced_model(
     t_b=_default_t_b,
 ) -> ReducedModel:
     """Load a ReducedModel; coefficient callables are supplied by the caller."""
-    z = np.load(path, allow_pickle=False)
+    z = np.load(_normalize_path(path), allow_pickle=False)
     meta = json.loads(str(z["meta"]))
     if meta.get("format_version") != _FORMAT_VERSION:
         raise ValueError(

@@ -126,6 +126,21 @@ class TestCheckpoint:
         )
         np.testing.assert_allclose(np.asarray(rm2.q), np.asarray(rm.q))
 
+    def test_roundtrip_without_extension(self, tmp_path):
+        """save('model') / load('model') must round-trip even though
+        np.savez appends '.npz' to the written file (ADVICE r1)."""
+        key = jax.random.PRNGKey(2)
+        domain, a0, a1, a2, b = random_affine_system(key, n=24, m=1, num_points=6)
+        sys = AffineSystem.create(domain, a0, a1, a2, b)
+        from morfem_tpu import equally_distributed_basis
+
+        q = equally_distributed_basis(sys, CFG, count=2)
+        rm = project(sys, q)
+        path = str(tmp_path / "model")  # no .npz
+        save_reduced_model(path, rm)
+        rm2 = load_reduced_model(path)
+        np.testing.assert_allclose(np.asarray(rm2.q), np.asarray(rm.q))
+
     def test_version_check(self, tmp_path):
         import json
 

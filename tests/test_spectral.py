@@ -180,6 +180,112 @@ class TestComplexCoefficients:
         assert rel < 1e-7, rel
 
 
+class TestSpectralGuards:
+    """ADVICE r1 regressions: complex or unsymmetrized-nonsymmetric reduced
+    models must make `prepare_spectral*` raise, so `_run_sweep`'s "auto"
+    dispatch falls back to the batched-LU sweep instead of silently
+    computing a wrong (real-part-only / force-symmetrized) answer."""
+
+    def _complex_parts(self):
+        rng = np.random.default_rng(5)
+        n, m = 40, 2
+        a0 = rng.normal(size=(n, n)) / n + np.eye(n) * 40
+        a0 = (a0 + a0.T) / 2
+        a1 = (lambda a: (a + a.T) / 2)(rng.normal(size=(n, n)) / n)
+        a2 = (lambda a: (a + a.T) / 2)(rng.normal(size=(n, n)) / n)
+        b = rng.normal(size=(n, m))
+        domain = np.linspace(1.0, 2.0, 12)
+        t_b = lambda t: t * (1.0 + 0.5j)  # noqa: E731
+        return domain, a0, a1, a2, b, t_b
+
+    def test_complex_system_auto_matches_lu(self):
+        from morfem_tpu import morfem
+
+        domain, a0, a1, a2, b, t_b = self._complex_parts()
+        cfg = CFG.replace(error_threshold=1e-12)
+        x_auto, *_ = morfem(
+            domain, a0, a1, a2, b, t_b=t_b,
+            config=cfg.replace(sweep_method="auto"),
+        )
+        x_lu, *_ = morfem(
+            domain, a0, a1, a2, b, t_b=t_b,
+            config=cfg.replace(sweep_method="lu"),
+        )
+        np.testing.assert_allclose(
+            np.asarray(x_auto), np.asarray(x_lu), rtol=1e-12, atol=1e-14
+        )
+
+    def test_prepare_rejects_complex(self):
+        from morfem_tpu.mor.reduced import ReducedModel
+        from morfem_tpu.mor.spectral import prepare_spectral_quadratic
+
+        k = 6
+        rng = np.random.default_rng(3)
+        r = rng.normal(size=(k, k))
+        rm = ReducedModel(
+            domain=jnp.linspace(1.0, 2.0, 8),
+            q=jnp.eye(k, dtype=jnp.complex128),
+            r0=jnp.asarray(r @ r.T + np.eye(k), jnp.complex128),
+            r1=jnp.zeros((k, k), jnp.complex128),
+            r2=jnp.asarray(np.eye(k), jnp.complex128),
+            b_r=jnp.asarray(rng.normal(size=(k, 2)) + 1j, jnp.complex128),
+            ncols=jnp.asarray(k),
+            t_a0=lambda t: jnp.ones_like(t), t_a1=lambda t: t,
+            t_a2=lambda t: t**2, t_b=lambda t: t,
+        )
+        with pytest.raises(ValueError, match="real systems only"):
+            prepare_spectral(rm, CFG)
+        with pytest.raises(ValueError, match="real systems only"):
+            prepare_spectral_quadratic(rm, CFG)
+
+    def test_unsymmetrized_nonsymmetric_rejected(self):
+        """With config.symmetrize=False, a non-symmetric reduced operator
+        must be rejected (the spectral prepare always symmetrizes, which
+        would silently disagree with the LU sweep)."""
+        from morfem_tpu.mor.reduced import ReducedModel
+
+        rng = np.random.default_rng(7)
+        k = 8
+        r0 = rng.normal(size=(k, k)) + np.eye(k) * 8  # NOT symmetric
+        r2 = np.eye(k)
+        rm = ReducedModel(
+            domain=jnp.linspace(0.0, 0.4, 10),
+            q=jnp.eye(k), r0=jnp.asarray(r0),
+            r1=jnp.zeros((k, k)), r2=jnp.asarray(r2),
+            b_r=jnp.asarray(rng.normal(size=(k, 2))),
+            ncols=jnp.asarray(k),
+            t_a0=lambda t: jnp.ones_like(t), t_a1=lambda t: t,
+            t_a2=lambda t: t**2, t_b=lambda t: jnp.ones_like(t),
+        )
+        cfg = CFG.replace(symmetrize=False)
+        with pytest.raises(ValueError, match="not numerically symmetric"):
+            prepare_spectral(rm, cfg)
+        # symmetrize=True (default) keeps the spectral path available
+        sm = prepare_spectral(rm, CFG)
+        assert np.isfinite(np.asarray(spectral_sweep(sm))).all()
+
+    def test_unsymmetrized_auto_matches_lu_end_to_end(self):
+        from morfem_tpu import morfem
+
+        rng = np.random.default_rng(11)
+        n, m = 32, 2
+        a0 = rng.normal(size=(n, n)) / n + np.eye(n) * 30  # non-symmetric
+        a2 = rng.normal(size=(n, n)) / n  # non-symmetric
+        a1 = np.zeros((n, n))
+        b = rng.normal(size=(n, m))
+        domain = np.linspace(1.0, 2.0, 10)
+        cfg = CFG.replace(symmetrize=False, error_threshold=1e-12)
+        x_auto, *_ = morfem(
+            domain, a0, a1, a2, b, config=cfg.replace(sweep_method="auto")
+        )
+        x_lu, *_ = morfem(
+            domain, a0, a1, a2, b, config=cfg.replace(sweep_method="lu")
+        )
+        np.testing.assert_allclose(
+            np.asarray(x_auto), np.asarray(x_lu), rtol=1e-12, atol=1e-14
+        )
+
+
 class TestQuadraticSpectral:
     def _three_term_system(self, n=48, i_pts=20):
         key = jax.random.PRNGKey(9)
