@@ -41,8 +41,11 @@ from morfem_tpu.ops.solve import (
     solve_point,
     solve_batch,
     solve_sweep,
+    solve_dense,
     lu_solve_refined,
+    gj_solve_refined,
 )
+from morfem_tpu.ops.blocked_inverse import gj_inverse_f32
 from morfem_tpu.utils.timing import PhaseTimer
 from morfem_tpu.utils.checkpoint import save_reduced_model, load_reduced_model
 
@@ -73,7 +76,10 @@ __all__ = [
     "solve_point",
     "solve_batch",
     "solve_sweep",
+    "solve_dense",
     "lu_solve_refined",
+    "gj_solve_refined",
+    "gj_inverse_f32",
     "PhaseTimer",
     "save_reduced_model",
     "load_reduced_model",

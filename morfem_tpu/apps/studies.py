@@ -123,7 +123,10 @@ def basis_size_study(
         from morfem_tpu.ops.solve import solve_sweep
 
         x_full = solve_sweep(sys, config)
-    rec = jnp.einsum("snk,sikm->sinm", q_orth, x)
+    rec = jnp.einsum(
+        "snk,sikm->sinm", q_orth, x,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     denom = jnp.linalg.norm(x_full)
     rel = jnp.sqrt(
         jnp.sum(jnp.abs(rec - x_full[None]) ** 2, axis=(1, 2, 3))

@@ -20,6 +20,15 @@ class MorfemConfig:
     Attributes:
       error_threshold: greedy convergence threshold on the max residual-norm
         estimate over the domain (reference: implementation.py:12).
+      factorization: direct-solver backend for full-order N×N solves.
+        "lu" — XLA's LU factorization (the reference's splu/lu_factor
+        analogue, implementation.py:468-480). "gj" — blocked MXU
+        Gauss-Jordan inverse (ops/blocked_inverse.py): every solve and
+        refinement step becomes one matmul (no XLA TriangularSolve); real
+        operators only, and currently slower to FACTOR than XLA's batched
+        LU (see ops/solve.py::use_gj_factorization) — pick it when one
+        factorization serves many re-solves. "auto" (default) resolves
+        to "lu".
       use_equally_distributed: select the equally-distributed basis strategy
         instead of the greedy one (reference: implementation.py:13, :175).
       equally_distributed_reduction_rate: fraction of domain points NOT used
@@ -84,6 +93,7 @@ class MorfemConfig:
     """
 
     error_threshold: float = 1e-6
+    factorization: str = "auto"
     use_equally_distributed: bool = False
     equally_distributed_reduction_rate: float = 0.97
     max_greedy_iterations: int = 40
@@ -99,6 +109,11 @@ class MorfemConfig:
     sweep_method: str = "auto"
 
     def __post_init__(self):
+        if self.factorization not in ("auto", "lu", "gj"):
+            raise ValueError(
+                f"factorization must be 'auto', 'lu' or 'gj', got "
+                f"{self.factorization!r}"
+            )
         if self.sweep_method not in ("auto", "lu", "spectral"):
             raise ValueError(
                 f"sweep_method must be 'auto', 'lu' or 'spectral', got "

@@ -248,6 +248,8 @@ def residual_norm_exact(
         + c[..., 1, None, None] * sys.a1
         + c[..., 2, None, None] * sys.a2
     )
-    qx = jnp.einsum("nk,ikm->inm", rm.q, x)
-    res = jnp.einsum("inl,ilm->inm", a_raw, qx) - cb[:, None, None] * sys.b
+    qx = jnp.einsum("nk,ikm->inm", rm.q, x, precision=_HI)
+    res = jnp.einsum(
+        "inl,ilm->inm", a_raw, qx, precision=_HI
+    ) - cb[:, None, None] * sys.b
     return jnp.sqrt(jnp.sum(jnp.abs(res) ** 2, axis=(-1, -2)))

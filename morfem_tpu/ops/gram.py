@@ -19,6 +19,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from morfem_tpu.ops.precision import precise_matmul
+
 
 def hermitian(a: jax.Array) -> jax.Array:
     """Hermitian conjugate — counterpart of `h` (implementation.py:483-488).
@@ -44,9 +46,9 @@ def expand_gram_matrix(
         [ original             old_qᴴ·M·new_q ]
         [ new_qᴴ·M·old_q       new_qᴴ·M·new_q ]
     """
-    top_right = hermitian(old_q) @ (middle @ new_q)
-    bottom_left = hermitian(new_q) @ (middle @ old_q)
-    bottom_right = hermitian(new_q) @ (middle @ new_q)
+    top_right = precise_matmul(hermitian(old_q), precise_matmul(middle, new_q))
+    bottom_left = precise_matmul(hermitian(new_q), precise_matmul(middle, old_q))
+    bottom_right = precise_matmul(hermitian(new_q), precise_matmul(middle, new_q))
     top = jnp.concatenate([original, top_right], axis=1)
     bottom = jnp.concatenate([bottom_left, bottom_right], axis=1)
     return jnp.concatenate([top, bottom], axis=0)

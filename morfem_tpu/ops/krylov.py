@@ -18,6 +18,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+_HI = jax.lax.Precision.HIGHEST  # f64 matmul at DEFAULT precision falls
+# off a ~4000× software cliff on this TPU (see ops/precision.py)
+
 
 def bicgstab(
     matvec: Callable,  # [N, M] -> [N, M]
@@ -119,11 +122,11 @@ def gmres(
                 w = mv_col(precond(v[:, j]))
                 # modified Gram-Schmidt against all columns (masked ≤ j)
                 mask = (jnp.arange(restart + 1) <= j).astype(work)
-                coeffs = (v.conj().T @ w) * mask
-                w = w - v @ coeffs
+                coeffs = jnp.matmul(v.conj().T, w, precision=_HI) * mask
+                w = w - jnp.matmul(v, coeffs, precision=_HI)
                 # light re-orthogonalization pass
-                coeffs2 = (v.conj().T @ w) * mask
-                w = w - v @ coeffs2
+                coeffs2 = jnp.matmul(v.conj().T, w, precision=_HI) * mask
+                w = w - jnp.matmul(v, coeffs2, precision=_HI)
                 hj = coeffs + coeffs2
                 wn = jnp.linalg.norm(w)
                 h = h.at[:, j].set(hj)
@@ -134,7 +137,7 @@ def gmres(
             v, h = jax.lax.fori_loop(0, restart, step, (v, h))
             e1 = jnp.zeros((restart + 1,), work).at[0].set(beta)
             y = jnp.linalg.lstsq(h, e1)[0]
-            return x + precond(v[:, :restart] @ y)
+            return x + precond(jnp.matmul(v[:, :restart], y, precision=_HI))
 
         def cond(state):
             x, k = state

@@ -60,6 +60,59 @@ def precise_matmul(a: jax.Array, b: jax.Array) -> jax.Array:
     return out[..., 0] if vector_rhs else out
 
 
+def split_bf16(x: jax.Array, pieces: int = 3) -> list:
+    """Represent an f32 array as a sum of `pieces` bf16 words.
+
+    bf16 carries 8 mantissa bits; three words cover f32's 24. The split is
+    exact in f32 arithmetic (each residual subtraction is representable).
+    """
+    parts = []
+    r = x.astype(jnp.float32)
+    for _ in range(pieces):
+        # Round to bf16 with lax.reduce_precision, NOT astype: the axon AOT
+        # path compiles with --xla_allow_excess_precision=true, which lets
+        # XLA elide f32→bf16→f32 cast chains in some fusion contexts —
+        # silently zeroing the residual pieces (observed: the blocked-GJ
+        # factorization collapsing to 1-pass bf16 accuracy under fori_loop).
+        # reduce_precision is contractually exact rounding; the astype to
+        # bf16 afterwards is then value-preserving and safe to elide.
+        h32 = jax.lax.reduce_precision(r, exponent_bits=8, mantissa_bits=7)
+        parts.append(h32.astype(jnp.bfloat16))
+        r = r - h32
+    return parts
+
+
+def matmul_f32_accurate(a: jax.Array, b: jax.Array, pieces: int = 3) -> jax.Array:
+    """f32-TRUE matmul on TPU via multi-word bf16 MXU passes.
+
+    On this platform a plain f32 `jnp.matmul` runs the MXU in single-pass
+    bf16 (measured rel err 2.4e-3), `Precision.HIGH` is a 3-pass scheme
+    (1.3e-5), and `Precision.HIGHEST` falls off a software cliff
+    (~0.01 TFLOP/s — 2000× slower than bf16). The right TPU-native tool is
+    an explicit bf16 Dekker-style split: a = Σaᵢ, b = Σbⱼ (bf16 words),
+    keep the products with weight ≥ 2⁻⁸ᐧ⁽ᵖⁱᵉᶜᵉˢ⁻¹⁾ — for pieces=3 that is
+    6 MXU passes, measured ~7 TFLOP/s effective and ~1e-7 relative error
+    (f32-native grade). Used for the blocked factorization GEMMs
+    (`ops/blocked_inverse.py`) where factor quality bounds the refinement
+    contraction rate.
+
+    On CPU, native f32 matmul is already exact-f32 — pass through.
+    """
+    if jax.default_backend() == "cpu":
+        return jnp.matmul(a, b)
+    ah = split_bf16(a, pieces)
+    bh = split_bf16(b, pieces)
+    # accumulate smallest-weight terms first
+    out = None
+    for s in range(pieces - 1, -1, -1):
+        for i in range(s + 1):
+            term = jnp.matmul(
+                ah[i], bh[s - i], preferred_element_type=jnp.float32
+            )
+            out = term if out is None else out + term
+    return out
+
+
 def precise_gram(a: jax.Array, b: jax.Array) -> jax.Array:
     """aᵀ·b contracting the LEADING axis accurately: [n, k]ᵀ·[n, l] → [k, l].
 

@@ -92,7 +92,7 @@ def lu_solve_refined(
         work_dtype, jnp.complexfloating
     ) and not jnp.issubdtype(factor_dtype, jnp.complexfloating)
 
-    def factored_solve(rhs):
+    def apply_factor(rhs):
         if split_complex:
             stacked = jnp.concatenate(
                 [rhs.real, rhs.imag], axis=-1
@@ -106,43 +106,109 @@ def lu_solve_refined(
             work_dtype
         )
 
-    x = factored_solve(b)
-
+    x = apply_factor(b)
     needs_refine = refine_iterations > 0 and (
         jnp.finfo(work_dtype).bits > jnp.finfo(factor_dtype).bits
         or split_complex
     )
     if needs_refine:
-        a_w = a.astype(work_dtype)
-        b_w = b.astype(work_dtype)
-        b_norm = jnp.linalg.norm(b_w)
-        rdtype = jnp.zeros((), work_dtype).real.dtype
-        # converge to working precision; the greedy deliberately samples
-        # near-resonance points where cond(A)·ε_f32 approaches 1, so the
-        # contraction per step can be slow (~0.8) — iterate adaptively
-        # instead of a fixed two steps, and stop on stagnation.
-        tol = 10 * jnp.finfo(work_dtype).eps * b_norm
+        x = _refine_adaptive(a, b, x, apply_factor, refine_iterations)
+    return x
 
-        def cond_fn(state):
-            _, _, r_norm, r_prev, it = state
-            improving = r_norm < 0.95 * r_prev
-            return jnp.logical_and(
-                jnp.logical_and(r_norm > tol, improving),
-                it < refine_iterations,
-            )
 
-        def body_fn(state):
-            x, r, r_norm, _, it = state
-            x = x + factored_solve(r)
-            r_new = b_w - precise_matmul(a_w, x)
-            return (x, r_new, jnp.linalg.norm(r_new), r_norm, it + 1)
+def _refine_adaptive(a, b, x0, apply_factor, refine_iterations: int):
+    """Adaptive iterative refinement around any approximate solver.
 
-        r0 = b_w - precise_matmul(a_w, x)
-        state = (
-            x, r0, jnp.linalg.norm(r0), jnp.asarray(jnp.inf, rdtype),
-            jnp.asarray(0),
+    Converges to working precision; the greedy deliberately samples
+    near-resonance points where cond(A)·ε_f32 approaches 1, so the
+    contraction per step can be slow (~0.8) — iterate adaptively instead
+    of a fixed count, and stop on stagnation. Residuals are computed with
+    the chunked-f64 `precise_matmul` (TPU's emulated f64 loses 8 digits on
+    wide contractions otherwise).
+    """
+    work_dtype = jnp.result_type(a.dtype, b.dtype)
+    a_w = a.astype(work_dtype)
+    b_w = b.astype(work_dtype)
+    rdtype = jnp.zeros((), work_dtype).real.dtype
+    tol = 10 * jnp.finfo(work_dtype).eps * jnp.linalg.norm(b_w)
+
+    def cond_fn(state):
+        _, _, r_norm, r_prev, it = state
+        improving = r_norm < 0.95 * r_prev
+        return jnp.logical_and(
+            jnp.logical_and(r_norm > tol, improving),
+            it < refine_iterations,
         )
-        x, _, _, _, _ = lax.while_loop(cond_fn, body_fn, state)
+
+    def body_fn(state):
+        x, r, r_norm, _, it = state
+        x = x + apply_factor(r)
+        r_new = b_w - precise_matmul(a_w, x)
+        return (x, r_new, jnp.linalg.norm(r_new), r_norm, it + 1)
+
+    r0 = b_w - precise_matmul(a_w, x0)
+    state = (
+        x0, r0, jnp.linalg.norm(r0), jnp.asarray(jnp.inf, rdtype),
+        jnp.asarray(0),
+    )
+    x, _, _, _, _ = lax.while_loop(cond_fn, body_fn, state)
+    return x
+
+
+def gj_solve_refined(
+    a: jax.Array,
+    b: jax.Array,
+    *,
+    refine_iterations: int = 2,
+    panel: int = 256,
+    sub: int = 8,
+) -> jax.Array:
+    """Solve ``a @ x = b`` via the blocked MXU Gauss-Jordan inverse.
+
+    The GEMM-only alternative to `lu_solve_refined` for REAL systems:
+    `ops/blocked_inverse.py::gj_inverse_f32` produces an explicit f32
+    approximate inverse at MXU rates (measured ~10× XLA's LuDecomposition
+    at N≈3.4k), and applying it — including inside every f64 refinement
+    step — is a single matmul, avoiding XLA's slow TriangularSolve
+    entirely. Complex right-hand sides ride the same real inverse via a
+    stacked [Re(b) | Im(b)] solve.
+    """
+    from morfem_tpu.ops.blocked_inverse import gj_inverse_f32
+
+    if jnp.issubdtype(a.dtype, jnp.complexfloating):
+        raise ValueError(
+            "gj_solve_refined factorizes real operators only; use "
+            "lu_solve_refined (or the split-real path) for complex systems"
+        )
+    work_dtype = jnp.result_type(a.dtype, b.dtype)
+    ainv = gj_inverse_f32(a, panel=panel, sub=sub)
+    complex_rhs = jnp.issubdtype(work_dtype, jnp.complexfloating)
+
+    from morfem_tpu.ops.precision import matmul_f32_accurate
+
+    # the apply must be f32-TRUE: a default (1-pass bf16) matmul's ~2e-3
+    # error enters the refinement iteration matrix as ‖E‖·cond(A) and
+    # diverges it for cond ≳ 500 (observed on the waveguide system).
+    def apply_factor(rhs):
+        if complex_rhs:
+            stacked = jnp.concatenate(
+                [rhs.real, rhs.imag], axis=-1
+            ).astype(jnp.float32)
+            sol = matmul_f32_accurate(ainv, stacked).astype(
+                jnp.zeros((), work_dtype).real.dtype
+            )
+            m = rhs.shape[-1]
+            return (sol[..., :m] + 1j * sol[..., m:]).astype(work_dtype)
+        return matmul_f32_accurate(
+            ainv, rhs.astype(jnp.float32)
+        ).astype(work_dtype)
+
+    x = apply_factor(b)
+    refine = refine_iterations > 0 and (
+        jnp.finfo(work_dtype).bits > 32 or complex_rhs
+    )
+    if refine:
+        x = _refine_adaptive(a, b, x, apply_factor, refine_iterations)
     return x
 
 
@@ -177,6 +243,45 @@ def inv_refined(
     return x
 
 
+def use_gj_factorization(a_dtype, n: int, config: MorfemConfig) -> bool:
+    """Resolve config.factorization for a given system (trace-time).
+
+    "auto" currently resolves to LU everywhere: measured on the v5e at
+    N=3411, XLA's batched f32 LU factorizes at ~23 ms/matrix while the
+    blocked GJ inverse takes ~1 s/matrix — its MXU GEMMs are fine but the
+    ~N sequential column steps pay XLA loop overhead that only a Pallas
+    panel kernel would remove. The GJ backend stays available explicitly
+    (``factorization="gj"``): it is the only factorization whose solve
+    AND refinement applies are single matmuls (no XLA TriangularSolve),
+    which wins when one factorization serves many re-solves.
+    """
+    if config.factorization == "gj":
+        if jnp.issubdtype(a_dtype, jnp.complexfloating):
+            raise ValueError(
+                "factorization='gj' supports real operators only"
+            )
+        return True
+    return False
+
+
+def solve_dense(
+    a: jax.Array,
+    b: jax.Array,
+    config: MorfemConfig = DEFAULT_CONFIG,
+) -> jax.Array:
+    """Direct dense solve honoring `config.factorization` (see config.py)."""
+    if use_gj_factorization(a.dtype, a.shape[-1], config):
+        return gj_solve_refined(
+            a, b, refine_iterations=config.refine_iterations
+        )
+    return lu_solve_refined(
+        a,
+        b,
+        factor_dtype=factor_dtype_like(a.dtype, config.factor_dtype_name),
+        refine_iterations=config.refine_iterations,
+    )
+
+
 def solve_point(
     sys: AffineSystem,
     t: jax.Array,
@@ -185,16 +290,11 @@ def solve_point(
     """Solve the full-order system at one parameter point.
 
     Counterpart of the reference's ``solve_fem_point``
-    (implementation.py:468-480): assemble A(t), b(t), solve by LU. Returns
-    x with shape [N, M].
+    (implementation.py:468-480): assemble A(t), b(t), solve directly.
+    Returns x with shape [N, M].
     """
     a, b = assemble_at(sys, t, symmetrize=config.symmetrize)
-    return lu_solve_refined(
-        a,
-        b,
-        factor_dtype=factor_dtype_like(a.dtype, config.factor_dtype_name),
-        refine_iterations=config.refine_iterations,
-    )
+    return solve_dense(a, b, config)
 
 
 def solve_batch(

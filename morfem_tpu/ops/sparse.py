@@ -208,6 +208,11 @@ def sparse_project(a0, a1, a2, b, q: jax.Array):
     """Galerkin projection with SpMM images — r_p = Qᴴ·(A_p·Q), b_r = Qᴴ·B."""
     ops = (to_bcoo(a0), to_bcoo(a1), to_bcoo(a2))
     qt = q.T  # plain transpose (see mor/reduced.py docstring)
-    rs = tuple(qt @ (op @ q) for op in ops)
-    b_r = qt @ jnp.asarray(b)
+    rs = tuple(
+        jnp.matmul(qt, op @ q, precision=jax.lax.Precision.HIGHEST)
+        for op in ops
+    )
+    b_r = jnp.matmul(
+        qt, jnp.asarray(b), precision=jax.lax.Precision.HIGHEST
+    )
     return rs, b_r

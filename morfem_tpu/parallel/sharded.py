@@ -20,7 +20,7 @@ from morfem_tpu.config import MorfemConfig, DEFAULT_CONFIG
 from morfem_tpu.mor.reduced import ReducedModel, assemble_reduced, solve_reduced_batch
 from morfem_tpu.ops.orthonormalize import orthonormalize_svd
 from morfem_tpu.ops.precision import precise_matmul
-from morfem_tpu.ops.solve import lu_solve_refined, factor_dtype_like
+from morfem_tpu.ops.solve import solve_dense
 
 
 # ---------------------------------------------------------------------------
@@ -48,10 +48,17 @@ def tp_operator_images_and_project(
 
     def local(a0_l, a1_l, a2_l, b_l, q_l, q_full):
         # a*_l: [N/tp, N]; q_l: [N/tp, K]; q_full: [N, K] (gathered once)
-        u_l = jnp.stack([a0_l @ q_full, a1_l @ q_full, a2_l @ q_full])
+        u_l = jnp.stack([
+            precise_matmul(a0_l, q_full),
+            precise_matmul(a1_l, q_full),
+            precise_matmul(a2_l, q_full),
+        ])
         qt_l = q_l.T  # plain transpose (see mor/reduced.py docstring)
-        r_part = jnp.einsum("kn,pnl->pkl", qt_l, u_l)
-        br_part = qt_l @ b_l
+        r_part = jnp.einsum(
+            "kn,pnl->pkl", qt_l, u_l,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        br_part = precise_matmul(qt_l, b_l)
         r = jax.lax.psum(r_part, axis)
         b_r = jax.lax.psum(br_part, axis)
         return u_l, r, b_r
@@ -189,12 +196,8 @@ def multi_geometry_mor(
         if config.symmetrize:
             a_seed = (a_seed + jnp.swapaxes(a_seed, -1, -2)) * 0.5
         rhs = cb[:, None, None] * bg
-        fd = factor_dtype_like(a_seed.dtype, config.factor_dtype_name)
         snaps = jax.vmap(
-            lambda a, r: lu_solve_refined(
-                a, r, factor_dtype=fd,
-                refine_iterations=config.refine_iterations,
-            )
+            lambda a, r: solve_dense(a, r, config)
         )(a_seed, rhs)  # [S, N, M]
         q = orthonormalize_svd(
             jnp.moveaxis(snaps, 0, 1).reshape(a0g.shape[0], -1)

@@ -114,9 +114,13 @@ def waveguide_like_system(
     kc, kt, kb = jax.random.split(key, 3)
     # SPD stiffness-like matrix via banded random factor
     g = jax.random.normal(kc, (n, n), dtype=dtype) / jnp.sqrt(n * 1.0)
-    c_mat = g @ g.T + 2.0 * jnp.eye(n, dtype=dtype)
+    c_mat = jnp.matmul(
+        g, g.T, precision=jax.lax.Precision.HIGHEST
+    ) + 2.0 * jnp.eye(n, dtype=dtype)
     t = jax.random.normal(kt, (n, n), dtype=dtype) / jnp.sqrt(n * 1.0)
-    t_mat = t @ t.T + jnp.eye(n, dtype=dtype)
+    t_mat = jnp.matmul(
+        t, t.T, precision=jax.lax.Precision.HIGHEST
+    ) + jnp.eye(n, dtype=dtype)
     # scale so that C - k0² T transitions sign over the band like a cavity
     k_mid = 2 * np.pi * 0.5 * (f_lo + f_hi) / c_lightspeed
     c_mat = c_mat * (k_mid**2)
