@@ -126,9 +126,27 @@ def main():
     grids_i = [
         jnp.asarray(freq) + i * (freq[1] - freq[0]) * 1e-3 for i in range(8)
     ]
-    t_reduced = timed(lambda g: red_fn(rm, g), grids_i, reps=7)
+    # dispatch-latency floor of this device path (axon tunnel): the same
+    # timing harness on a trivial jitted reduction. Short-grid sweep times
+    # are bounded below by this — report it so the headline is honest.
+    floor_fn = jax.jit(lambda g: jnp.sum(g))
+    t_floor = timed(floor_fn, grids_i, reps=7)
+    log(f"dispatch latency floor: {t_floor*1e3:.2f} ms")
+
+    t_reduced_lu = timed(lambda g: red_fn(rm, g), grids_i, reps=7)
     x_r = red_fn(rm, ts)
-    log(f"reduced sweep ({N_POINTS} pts): {t_reduced*1e3:.3f} ms")
+    log(f"reduced sweep LU ({N_POINTS} pts): {t_reduced_lu*1e3:.3f} ms")
+
+    # what morfem() actually runs by default (sweep_method='auto' →
+    # spectral for the two-term waveguide pencil): the honest headline
+    from morfem_tpu.mor.spectral import prepare_spectral, spectral_sweep
+
+    sm_head = prepare_spectral(rm, cfg)
+    head_fn = jax.jit(lambda g: spectral_sweep(sm_head, g))
+    t_reduced = timed(head_fn, grids_i, reps=7)
+    log(f"reduced sweep auto/spectral ({N_POINTS} pts): "
+        f"{t_reduced*1e3:.3f} ms (floor-bound: "
+        f"{100*t_floor/max(t_reduced,1e-12):.0f}% latency)")
 
     speedup = t_full / t_reduced
 
@@ -154,8 +172,6 @@ def main():
     log(f"GSM error max: {gsm_err:.3e}")
 
     # ---- dense-grid throughput (config 2): LU path and spectral path ----
-    from morfem_tpu.mor.spectral import prepare_spectral, spectral_sweep
-
     dense_grids = [
         jnp.linspace(freq[0] + i * 1e3, freq[-1], DENSE_POINTS)
         for i in range(8)
@@ -168,19 +184,46 @@ def main():
 
     pal_fn = jax.jit(lambda g: pallas_reduced_sweep(rm, g, cfg))
     t_dense_pal = timed(pal_fn, dense_grids, reps=5)
+    # on-chip accuracy of the Mosaic kernel vs the LU path (a miscompile
+    # would otherwise ship silently — interpret-mode tests run on CPU)
+    x_pal = pal_fn(dense_grids[0])
+    x_lu_dense = red_fn(rm, dense_grids[0])
+    pal_rel = float(
+        jnp.linalg.norm(x_pal - x_lu_dense) / jnp.linalg.norm(x_lu_dense)
+    )
     log(f"dense re-sweep Pallas ({DENSE_POINTS} pts): {t_dense_pal*1e3:.1f} ms "
-        f"({DENSE_POINTS/t_dense_pal:,.0f} points/s)")
+        f"({DENSE_POINTS/t_dense_pal:,.0f} points/s; vs LU rel {pal_rel:.1e})")
 
-    sm = prepare_spectral(rm, cfg)
-    sp_fn = jax.jit(lambda g: spectral_sweep(sm, g))
+    sp_fn = jax.jit(lambda g: spectral_sweep(sm_head, g))
     t_dense = timed(sp_fn, dense_grids, reps=5)
     x_sp = sp_fn(dense_grids[0])
-    x_lu_dense = red_fn(rm, dense_grids[0])
     sp_rel = float(
         jnp.linalg.norm(x_sp - x_lu_dense) / jnp.linalg.norm(x_lu_dense)
     )
     log(f"dense re-sweep spectral ({DENSE_POINTS} pts): {t_dense*1e3:.1f} ms "
         f"({DENSE_POINTS/t_dense:,.0f} points/s; vs LU rel {sp_rel:.1e})")
+
+    # ---- blocked GJ inverse backend: on-chip quality + time at N ----
+    from morfem_tpu.ops.assembly import assemble_at
+    from morfem_tpu.ops.blocked_inverse import gj_inverse_f32
+    from morfem_tpu.ops.precision import matmul_f32_accurate
+
+    a_mid, _ = assemble_at(sys_, sys_.domain[N_POINTS // 2], symmetrize=True)
+    gj_fn = jax.jit(lambda a: gj_inverse_f32(a))
+    float(jnp.sum(gj_fn(a_mid)))  # compile + warm
+    t0 = time.perf_counter()
+    ainv = gj_fn(a_mid * (1.0 + 1e-7))
+    float(jnp.sum(ainv))
+    t_gj = time.perf_counter() - t0
+    ainv = gj_fn(a_mid)
+    gj_res = float(
+        jnp.linalg.norm(
+            matmul_f32_accurate(ainv, a_mid.astype(jnp.float32))
+            - jnp.eye(sys_.n, dtype=jnp.float32)
+        )
+        / np.sqrt(sys_.n)
+    )
+    log(f"gj_inverse N={sys_.n}: {t_gj*1e3:.0f} ms, |MA-I|/sqrt(N) = {gj_res:.1e}")
 
     result = {
         "metric": "reduced_sweep_speedup_vs_full_order",
@@ -193,6 +236,9 @@ def main():
             "basis_size": int(nr),
             "full_order_sweep_s": round(t_full, 4),
             "reduced_sweep_ms": round(t_reduced * 1e3, 4),
+            "reduced_sweep_lu_ms": round(t_reduced_lu * 1e3, 4),
+            "latency_floor_ms": round(t_floor * 1e3, 3),
+            "sweep_method_used": "spectral (morfem auto dispatch)",
             "basis_build_s": round(t_build, 3),
             "greedy_compile_s": round(t_compile, 1),
             "solution_rel_error": rel,
@@ -201,6 +247,9 @@ def main():
             "dense_points_per_s_lu": round(DENSE_POINTS / t_dense_lu),
             "dense_points_per_s_pallas": round(DENSE_POINTS / t_dense_pal),
             "spectral_vs_lu_rel": sp_rel,
+            "pallas_vs_lu_rel": pal_rel,
+            "gj_inverse_ms": round(t_gj * 1e3, 1),
+            "gj_identity_residual": gj_res,
             "device": str(jax.devices()[0]),
         },
     }
