@@ -46,6 +46,7 @@ from morfem_tpu.ops.solve import (
     gj_solve_refined,
 )
 from morfem_tpu.ops.blocked_inverse import gj_inverse_f32
+from morfem_tpu.mor.greedy_matfree import greedy_basis_matfree
 from morfem_tpu.utils.timing import PhaseTimer
 from morfem_tpu.utils.checkpoint import save_reduced_model, load_reduced_model
 
@@ -80,6 +81,7 @@ __all__ = [
     "lu_solve_refined",
     "gj_solve_refined",
     "gj_inverse_f32",
+    "greedy_basis_matfree",
     "PhaseTimer",
     "save_reduced_model",
     "load_reduced_model",

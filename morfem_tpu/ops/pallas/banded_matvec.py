@@ -115,6 +115,9 @@ def banded_matvec_padded(
     interpret: bool = False,
 ) -> jax.Array:
     """y = A·x with a pre-padded band — fused halo'd kernel, f32 compute."""
+    # Mosaic only compiles for TPU; on the CPU backend (unit tests,
+    # virtual meshes) fall back to interpret mode automatically.
+    interpret = interpret or jax.default_backend() == "cpu"
     m = x.shape[1]
     f32 = jnp.float32
     mp = _round_up(max(m, 8), 8)
@@ -245,6 +248,15 @@ class BandedAffineOperator:
             + c[2] * self.bands_w[2]
         )
         return lambda x: banded_matvec_ref(band_t, self.half, x)
+
+    def apply_addend(self, p: int, x: jax.Array) -> jax.Array:
+        """A_p·x for one (pre-symmetrized) addend in working dtype.
+
+        Per-addend application for the matrix-free greedy estimator
+        (mor/greedy_matfree.py): runs the reference banded matvec on the
+        working-dtype bands — O(N·BW·M), cheap even in emulated f64.
+        """
+        return banded_matvec_ref(self.bands_w[p], self.half, x)
 
     def diagonal(self, c: jax.Array) -> jax.Array:
         d = self.diags

@@ -75,6 +75,19 @@ class SparseAffineOperator:
             y = (y + yt) * 0.5
         return y
 
+    def apply_addend(self, p: int, x: jax.Array) -> jax.Array:
+        """A_p·x for one operator addend (symmetrized like `matvec`).
+
+        The per-addend application the matrix-free greedy's estimator
+        needs (U_p = A_p·Q, mor/greedy_matfree.py) — one SpMM (plus the
+        transposed SpMM under symmetrization) instead of probing `matvec`
+        with unit coefficient vectors, which would run all three addends.
+        """
+        y = self.ops[p] @ x
+        if self.symmetrize:
+            y = (y + self.ops_t[p] @ x) * 0.5
+        return y
+
     def diagonal(self, c: jax.Array) -> jax.Array:
         """diag(A(t)) for the Jacobi preconditioner."""
         n = self.ops[0].shape[0]
