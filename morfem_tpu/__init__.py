@@ -46,6 +46,12 @@ from morfem_tpu.ops.solve import (
     gj_solve_refined,
 )
 from morfem_tpu.ops.blocked_inverse import gj_inverse_f32
+from morfem_tpu.ops.complex_split import (
+    embed_affine_system,
+    solve_complex,
+    solve_complex_split,
+    split_solution,
+)
 from morfem_tpu.mor.greedy_matfree import greedy_basis_matfree
 from morfem_tpu.utils.timing import PhaseTimer
 from morfem_tpu.utils.checkpoint import save_reduced_model, load_reduced_model

@@ -67,20 +67,20 @@ def tp_solve(
     safe = jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)
 
     def precond(x_blk):
-        return x_blk / safe[:, None]
+        # Jacobi; works for [N] columns (gmres) and [N, M] blocks (bicgstab)
+        return x_blk / (safe[:, None] if x_blk.ndim == 2 else safe)
 
     if method == "gmres":
-        def mv_col(x_col):
-            return mv(a, x_col[:, None])[:, 0]
+        # Route through ops/krylov.gmres: jax.scipy's gmres builds a
+        # transpose of the matvec (impossible for shard_map/Pallas
+        # operators) and vmapping it would batch the operator — the exact
+        # trap ops/krylov.py exists to avoid.
+        from morfem_tpu.ops.krylov import gmres
 
-        def solve_col(b_col):
-            x, _ = jax.scipy.sparse.linalg.gmres(
-                mv_col, b_col, tol=tol, maxiter=maxiter,
-                M=lambda v: v / safe, solve_method="batched",
-            )
-            return x
-
-        x = jax.vmap(solve_col, in_axes=1, out_axes=1)(b)
+        x, _ = gmres(
+            lambda xx: mv(a, xx), b, precond=precond, tol=tol,
+            maxiter=max(1, maxiter // 32), restart=32,
+        )
     else:
         from morfem_tpu.ops.krylov import bicgstab
 

@@ -1,0 +1,119 @@
+"""Complex-operator systems via the real 2N embedding (ops/complex_split).
+
+Oracle: NumPy's native complex solves — the same path the reference uses
+implicitly (implementation.py:468-480). VERDICT round-1 acceptance: a
+complex-symmetric system solved on the TPU-compatible path matching the
+CPU complex oracle to 1e-8.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from morfem_tpu import MorfemConfig, morfem
+from morfem_tpu.ops.complex_split import (
+    embed_affine_system,
+    real_embedding,
+    solve_complex,
+    solve_complex_split,
+    split_solution,
+)
+
+CFG = MorfemConfig(factor_dtype_name="float32", refine_iterations=8)
+
+
+def _complex_symmetric_system(n=32, m=2, seed=0):
+    rng = np.random.default_rng(seed)
+
+    def sym(scale):
+        a = (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))) * scale
+        return (a + a.T) / 2
+
+    # diagonally shifted so A(t) is invertible over the domain
+    a0 = sym(1.0 / n) + np.eye(n) * (3.0 + 25.0 + 0.5j)
+    a1 = sym(1.0 / n)
+    a2 = sym(1.0 / n)
+    b = rng.normal(size=(n, m)) + 1j * rng.normal(size=(n, m))
+    return a0, a1, a2, b
+
+
+def test_solve_complex_split_matches_numpy():
+    a0, _, _, b = _complex_symmetric_system()
+    x = solve_complex(a0, b, CFG)
+    ref = np.linalg.solve(a0, b)
+    assert np.linalg.norm(x - ref) / np.linalg.norm(ref) < 1e-12
+
+
+def test_solve_complex_split_f32_factor_refines_to_f64():
+    """The f32-factored embedding must refine well past c64 accuracy."""
+    a0, _, _, b = _complex_symmetric_system(n=48, seed=3)
+    x_re, x_im = solve_complex_split(
+        jnp.asarray(a0.real), jnp.asarray(a0.imag),
+        jnp.asarray(b.real), jnp.asarray(b.imag), CFG,
+    )
+    x = np.asarray(x_re) + 1j * np.asarray(x_im)
+    r = np.linalg.norm(a0 @ x - b) / np.linalg.norm(b)
+    assert r < 1e-12  # c64 arithmetic alone floors around 1e-6
+
+
+def test_real_embedding_identity():
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(5, 5)) + 1j * rng.normal(size=(5, 5))
+    x = rng.normal(size=(5, 3)) + 1j * rng.normal(size=(5, 3))
+    k = real_embedding(jnp.asarray(a.real), jnp.asarray(a.imag))
+    xe = jnp.concatenate([jnp.asarray(x.real), jnp.asarray(x.imag)], axis=0)
+    ye = np.asarray(k @ xe)
+    y = ye[:5] + 1j * ye[5:]
+    np.testing.assert_allclose(y, a @ x, rtol=1e-12)
+
+
+def test_embedded_system_full_mor_pipeline_matches_complex_oracle():
+    """Greedy MOR on the embedded system ≡ MOR on the complex problem."""
+    a0, a1, a2, b = _complex_symmetric_system(n=40, m=2, seed=7)
+    domain = np.linspace(3.0, 5.0, 24)
+    # NOTE estimator semantics follow the reference (implementation.py:424):
+    # err = ‖RᴴR‖_F ≈ residual², so a 1e-20 threshold targets ~1e-10
+    # absolute residuals → well past 1e-8 relative solution error here.
+    cfg = MorfemConfig(
+        symmetrize=False,
+        error_threshold=1e-20,
+        factor_dtype_name="float32",
+        refine_iterations=8,
+        max_greedy_iterations=20,
+    )
+    sys_e = embed_affine_system(domain, a0, a1, a2, b, config=cfg)
+    assert sys_e.a0.shape == (80, 80)
+    x, q, *_ = morfem(
+        sys_e.domain, sys_e.a0, sys_e.a1, sys_e.a2, sys_e.b, config=cfg
+    )
+    # reconstruct full-order embedded solutions, reassemble complex
+    xf = np.einsum("nk,ikm->inm", np.asarray(q), np.asarray(x))
+    xr, xi = split_solution(jnp.asarray(xf))
+    x_c = np.asarray(xr) + 1j * np.asarray(xi)
+    for i, t in enumerate(domain):
+        a_t = a0 + t * a1 + t**2 * a2
+        ref = np.linalg.solve(a_t, t * b)
+        rel = np.linalg.norm(x_c[i] - ref) / np.linalg.norm(ref)
+        assert rel < 1e-8, (i, rel)
+
+
+def test_embed_raises_on_symmetrize_with_imag():
+    a0, a1, a2, b = _complex_symmetric_system(n=8)
+    with pytest.raises(ValueError, match="symmetrize"):
+        embed_affine_system(
+            np.linspace(3, 5, 4), a0, a1, a2, b,
+            config=MorfemConfig(symmetrize=True),
+        )
+
+
+def test_embed_real_input_allows_symmetrize():
+    rng = np.random.default_rng(4)
+    n = 8
+    a = rng.normal(size=(n, n)) + 0j  # complex dtype, zero imaginary part
+    b = rng.normal(size=(n, 2)) + 0j
+    sys_e = embed_affine_system(
+        np.linspace(3, 5, 4), a, a, a, b,
+        config=MorfemConfig(symmetrize=True),
+    )
+    assert sys_e.a0.shape == (2 * n, 2 * n)

@@ -147,6 +147,24 @@ def test_tp_solve_matches_dense(eight_devices):
     )
 
 
+def test_tp_solve_gmres_matches_dense(eight_devices):
+    from morfem_tpu.parallel.tp_solve import tp_solve
+
+    mesh = make_mesh(dp=1, sp=1, tp=8)
+    rng = np.random.default_rng(6)
+    n = 64
+    a = rng.normal(size=(n, n)) / n
+    a = (a + a.T) / 2 + np.eye(n) * 3
+    b = rng.normal(size=(n, 2))
+    x, relres = tp_solve(
+        jnp.asarray(a), jnp.asarray(b), mesh, tol=1e-12, method="gmres"
+    )
+    assert float(jnp.max(relres)) < 1e-10
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(a, b), rtol=1e-7, atol=1e-10
+    )
+
+
 def test_tp_snapshot_basis_pipeline(eight_devices):
     from morfem_tpu.mor.reduced import ReducedModel
     from morfem_tpu.parallel.tp_solve import tp_snapshot_basis
