@@ -88,7 +88,7 @@ def greedy_basis_matfree(
     config: MorfemConfig = DEFAULT_CONFIG,
     snapshot_tol: float = 1e-10,
     snapshot_maxiter: int = 2000,
-    method: str = "bicgstab",
+    method: str = "auto",
 ) -> Tuple[GreedyResult, ReducedModel]:
     """Greedy MOR basis for a matrix-free affine operator.
 
@@ -105,8 +105,11 @@ def greedy_basis_matfree(
       config: greedy knobs (threshold, max iterations, orthonormalization,
         dependency_tolerance) — `estimator` is implicitly "direct"; the
         Gram variant would square the operator scale for no benefit here.
-      snapshot_tol / snapshot_maxiter / method: Krylov settings for the
-        full-order snapshot solves (ops/sparse.py::solve_point_iterative).
+      snapshot_tol / snapshot_maxiter / method: snapshot-solve settings
+        (ops/sparse.py::solve_point_iterative). ``"auto"`` picks the
+        block-tridiagonal DIRECT solver (ops/block_tridiag) for banded
+        operators — required for indefinite in-band Helmholtz, where
+        Krylov stagnates — and Jacobi-BiCGStab for general sparsity.
 
     Returns:
       (GreedyResult, trimmed ReducedModel). ``converged=False`` with fewer
@@ -171,9 +174,27 @@ def greedy_basis_matfree(
 
     res_limit = max(snapshot_tol * 100, 1e-8)
 
+    @jax.jit
+    def snapshot_shifted(t):
+        # escalation path: near-resonance points where cond(A)·eps_f32 > 1
+        # make the unshifted f32 factorization's refinement stagnate; the
+        # σ-shifted factorization's condition is bounded by ~1/σ, so it is
+        # f32-safe, and outer f64 GMRES restores full accuracy
+        from morfem_tpu.ops.block_tridiag import shifted_gmres_solve
+
+        c, cb = coeff_at(t)
+        rhs = cb * b
+        x, relres = shifted_gmres_solve(
+            op, c, rhs, tol=snapshot_tol, maxiter=60
+        )
+        return x, relres
+
     def solve_checked(t):
         x, relres = snapshot(t)
         worst = float(jnp.max(relres))
+        if worst > res_limit and hasattr(op, "bands_w"):
+            x, relres = snapshot_shifted(t)
+            worst = float(jnp.max(relres))
         if worst > res_limit:
             warnings.warn(
                 f"greedy snapshot solve at t={float(t):.6g} reached only "

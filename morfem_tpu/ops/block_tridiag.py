@@ -1,0 +1,327 @@
+"""Block-tridiagonal direct solver — the banded `splu` of the TPU path.
+
+The reference factorizes every full-order system directly with SciPy's
+``splu`` (implementation.py:474-476), which handles indefinite in-band
+Helmholtz systems (C − k²T at interesting frequencies) without any
+preconditioner tuning. The round-1 large-N path only offered
+Jacobi-preconditioned Krylov, which stagnates on those systems
+(`ops/sparse.py` CAVEAT). This module restores direct-solve robustness
+for BANDED operators — the structure FEM discretizations actually have —
+in a TPU-native shape:
+
+A banded matrix with half-bandwidth h, partitioned into blocks of size
+b ≥ h, is **block-tridiagonal**. Block-Thomas elimination is then a
+`lax.scan` of dense b×b MXU operations:
+
+    S_0 = D_0,   S_i = D_i − L_i·S_{i−1}⁻¹·U_{i−1}       (factor, forward)
+    y_i = rhs_i − L_i·S_{i−1}⁻¹·y_{i−1}                  (solve, forward)
+    x_i = S_i⁻¹·(y_i − U_i·x_{i+1})                      (solve, backward)
+
+O(N·b²) work in O(N/b) sequential steps of MXU-shaped b×b matmuls — the
+layout XLA runs well, unlike scalar-pivot banded LU. The factorization is
+f32 (storing explicit Schur-complement inverses, so every solve apply is
+pure matmuls); accuracy is recovered by the standard adaptive f64
+refinement around it, with residuals from the f64 banded matvec.
+
+Pivoting note: elimination never pivots ACROSS blocks (XLA's f32 LU pivots
+within each b×b inverse). For symmetric-indefinite Helmholtz this is the
+same trade banded LAPACK solvers make with interchanges confined to the
+band; when a Schur complement is genuinely near-singular the factorization
+degrades — detected by the refined residual — and the caller escalates to
+`shifted_gmres_solve`: outer GMRES preconditioned by the SAME factorization
+applied to the complex-shifted matrix M = A − iσ·s·I via the real 2b
+embedding (`ops/complex_split`). M is nonsingular by construction (margin
+σ), its Schur complements inherit that margin, and Re(M⁻¹)·A has spectrum
+1 − σ²/(λ²+σ²) clustered at 1 — the shifted-Laplace idea with a direct
+factorization instead of multigrid.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from morfem_tpu.config import MorfemConfig, DEFAULT_CONFIG
+from morfem_tpu.ops.precision import matmul_f32_accurate
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def band_to_blocks(
+    band: jax.Array,  # [N, 2h+1] diagonal storage (see pallas/banded_matvec)
+    half: int,
+    block: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Extract block-tridiagonal blocks (l, d, u) from diagonal storage.
+
+    Requires ``block ≥ half``. Rows are padded to a multiple of ``block``
+    with identity (so padded Schur complements stay invertible). Returns
+    (l [nb,b,b], d [nb,b,b], u [nb,b,b]) with l[0] = u[-1] = 0, where
+    block row I of A is [... L_I | D_I | U_I ...] at column offset (I−1)b.
+    """
+    n, bw = band.shape
+    b = block
+    if b < half:
+        raise ValueError(f"block ({b}) must be ≥ half-bandwidth ({half})")
+    n_pad = _round_up(n, b)
+    pad = n_pad - n
+    band_p = jnp.zeros((n_pad, bw), band.dtype)
+    band_p = band_p.at[:n].set(band)
+    if pad:
+        band_p = band_p.at[n:, half].set(1.0)  # identity padding rows
+    nb = n_pad // b
+    band_rt = band_p.reshape(nb, b, bw)
+    # W[I, r, b + r − half + j] = band_rt[I, r, j]  — the [b, 3b] window of
+    # block row I relative to column offset (I−1)·b
+    w = jnp.zeros((nb, b, 3 * b), band.dtype)
+    rr = jnp.arange(b)[:, None]  # [b, 1]
+    jj = jnp.arange(bw)[None, :]  # [1, bw]
+    cols = b + rr - half + jj  # [b, bw] — all within [b-half, b+b+half)
+    w = w.at[:, rr, cols].set(band_rt)
+    l = w[:, :, :b]
+    d = w[:, :, b : 2 * b]
+    u = w[:, :, 2 * b :]
+    # zero the wrap-around edges (they index out of the true matrix)
+    l = l.at[0].set(jnp.zeros((b, b), band.dtype))
+    u = u.at[-1].set(jnp.zeros((b, b), band.dtype))
+    return l, d, u
+
+
+class BlockTridiagFactors(NamedTuple):
+    """f32 block-Thomas factors: g[i] = S_i⁻¹, h[i] = S_i⁻¹·U_i, plus L."""
+
+    g: jax.Array  # [nb, b, b]
+    h: jax.Array  # [nb, b, b]
+    l: jax.Array  # [nb, b, b]
+    n: int  # true (unpadded) row count
+
+
+def _mm(a, b):
+    # f32-TRUE matmul: a default (1-pass bf16) product's ~2e-3 error makes
+    # the factors useless as a refinement apply (diverges for cond ≳ 500);
+    # HIGHEST falls off a software cliff on this platform (ops/precision.py)
+    return matmul_f32_accurate(a, b)
+
+
+@jax.jit
+def _factor_scan(l32, d32, u32):
+    b = d32.shape[-1]
+    f32 = jnp.float32
+    u_prev = jnp.concatenate([jnp.zeros((1, b, b), f32), u32[:-1]], axis=0)
+
+    def step(g_prev, inputs):
+        li, di, ui, upi = inputs
+        s = di - _mm(li, _mm(g_prev, upi))
+        g = jnp.linalg.inv(s)
+        h = _mm(g, ui)
+        return g, (g, h)
+
+    _, (g, h) = lax.scan(
+        step, jnp.zeros((b, b), f32), (l32, d32, u32, u_prev)
+    )
+    return g, h
+
+
+def block_tridiag_factor(
+    l: jax.Array, d: jax.Array, u: jax.Array, n: int
+) -> BlockTridiagFactors:
+    """Block-Thomas factorization as one `lax.scan` (f32).
+
+    ``n`` (the true, unpadded row count) stays Python-static metadata on
+    the returned factors — used for slicing in `block_tridiag_apply`.
+    """
+    f32 = jnp.float32
+    l32 = l.astype(f32)
+    g, h = _factor_scan(l32, d.astype(f32), u.astype(f32))
+    return BlockTridiagFactors(g=g, h=h, l=l32, n=n)
+
+
+def block_tridiag_apply(factors: BlockTridiagFactors, rhs: jax.Array):
+    """Apply the factorization: approximate A⁻¹·rhs (f32 compute).
+
+    Not jitted at this level: ``factors.n`` is static Python metadata used
+    for slicing; callers trace this inside their own jit/while_loop.
+
+    rhs: [N, M] (padded internally). Forward scan computes
+    w_i = S_i⁻¹·(rhs_i − L_i·w_{i−1}), backward scan x_i = w_i − H_i·x_{i+1}.
+    """
+    g, h, l, n = factors
+    nb, b, _ = g.shape
+    m = rhs.shape[1]
+    f32 = jnp.float32
+    r = jnp.zeros((nb * b, m), f32).at[:n].set(rhs[:n].astype(f32))
+    r = r.reshape(nb, b, m)
+
+    def fwd(w_prev, inputs):
+        gi, li, ri = inputs
+        w = _mm(gi, ri - _mm(li, w_prev))
+        return w, w
+
+    _, w = lax.scan(fwd, jnp.zeros((b, m), f32), (g, l, r))
+
+    def bwd(x_next, inputs):
+        hi, wi = inputs
+        x = wi - _mm(hi, x_next)
+        return x, x
+
+    _, x = lax.scan(
+        bwd, jnp.zeros((b, m), f32), (h, w), reverse=True
+    )
+    return x.reshape(nb * b, m)[:n]
+
+
+def banded_direct_solve(
+    op,  # BandedAffineOperator
+    c: jax.Array,  # [3] coefficients at this parameter point
+    rhs: jax.Array,  # [N, M] working dtype
+    config: MorfemConfig = DEFAULT_CONFIG,
+    block: int | None = None,
+    refine_iterations: int = 30,
+) -> Tuple[jax.Array, jax.Array]:
+    """Direct banded solve of A(c)·x = rhs + adaptive f64 refinement.
+
+    The TPU-native replacement for the reference's `splu` on large banded
+    systems: works on INDEFINITE in-band Helmholtz operators where the
+    Jacobi-Krylov path stagnates. Returns (x, relres [M], iterations) —
+    `iterations` counts the f64 refinement steps actually taken.
+    """
+    band_t = (
+        c[0] * op.bands_w[0] + c[1] * op.bands_w[1] + c[2] * op.bands_w[2]
+    )
+    b = block or max(128, _round_up(op.half, 128))
+    l, d, u = band_to_blocks(band_t, op.half, b)
+    factors = block_tridiag_factor(l, d, u, op.n)
+    mv = op.bind_precise(c)  # f64 banded matvec for residuals
+
+    x = block_tridiag_apply(factors, rhs).astype(rhs.dtype)
+    b_norm = jnp.linalg.norm(rhs, axis=0)
+    tol = 10 * jnp.finfo(rhs.dtype).eps * jnp.linalg.norm(rhs)
+
+    def cond_fn(state):
+        _, r_norm, r_prev, it = state
+        return jnp.logical_and(
+            jnp.logical_and(r_norm > tol, r_norm < 0.97 * r_prev),
+            it < refine_iterations,
+        )
+
+    def body_fn(state):
+        x, r_norm, _, it = state
+        r = rhs - mv(x)
+        x = x + block_tridiag_apply(factors, r).astype(rhs.dtype)
+        return (x, jnp.linalg.norm(rhs - mv(x)), r_norm, it + 1)
+
+    r0 = jnp.linalg.norm(rhs - mv(x))
+    x, _, _, iters = lax.while_loop(
+        cond_fn, body_fn, (x, r0, jnp.asarray(jnp.inf, r0.dtype), 0)
+    )
+    relres = jnp.linalg.norm(rhs - mv(x), axis=0) / jnp.maximum(
+        b_norm, 1e-300
+    )
+    return x, relres, iters
+
+
+def shifted_block_precond(
+    op,  # BandedAffineOperator
+    c: jax.Array,
+    sigma: float = 1e-5,
+    block: int | None = None,
+):
+    """Preconditioner P(r) = Re((A − iσs)⁻¹ r) via the embedded factors.
+
+    The shifted-Laplace idea with a DIRECT factorization standing in for
+    multigrid: the complex shift iσ·s (s = max |diag| of A(c), so σ is
+    dimensionless) bounds every Schur complement away from singular, so
+    the no-cross-block-pivot elimination cannot break down even exactly at
+    a resonance. For symmetric A with eigenvalues λ,
+
+        Re((A − iσs)⁻¹)·A  has eigenvalues  λ²/(λ² + σ²s²) ∈ (0, 1),
+
+    clustered at 1 for |λ| ≫ σs — GMRES on the preconditioned system
+    converges in a handful of iterations, with only the |λ| ≲ σs cluster
+    converging slowly. So σ must be the SMALLEST value that still
+    regularizes the elimination — it only needs to lift near-singular
+    Schur complements off zero, while every in-band mode with |λ| < σs
+    pays for it in iterations. Measured at N=34k in-band Helmholtz
+    (|λ|min ≈ 4, s ≈ 3.4e3): σ=1e-2 stalls at 1e-2 relative residual,
+    σ=1e-4 reaches 1.5e-8, σ=1e-5 reaches 1.4e-11 in 40 restarts.
+    Applied via the per-block real 2b embedding
+    (`ops/complex_split.real_embedding`): complex blocks Z → [[X, −Y],
+    [Y, X]], which keeps the block-tridiagonal structure intact.
+
+    Returns (precond_fn [N, M] → [N, M], factors).
+    """
+    band_t = (
+        c[0] * op.bands_w[0] + c[1] * op.bands_w[1] + c[2] * op.bands_w[2]
+    )
+    b = block or max(128, _round_up(op.half, 128))
+    l, d, u = band_to_blocks(band_t, op.half, b)
+    scale = jnp.max(jnp.abs(op.diagonal(c)))
+    shift = sigma * scale
+    nb = d.shape[0]
+    zero = jnp.zeros_like(d)
+    eye = jnp.broadcast_to(jnp.eye(b, dtype=d.dtype), d.shape)
+
+    def embed(x_re, x_im):  # [[X, −Y], [Y, X]] per block
+        top = jnp.concatenate([x_re, -x_im], axis=-1)
+        bot = jnp.concatenate([x_im, x_re], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)
+
+    de = embed(d, -shift * eye)  # D − iσs·I
+    le = embed(l, zero)
+    ue = embed(u, zero)
+    # Padded/identity rows also get the −iσs shift — harmless (still
+    # decoupled from true rows) and keeps the embedding uniform. The
+    # embedded system has 2b-sized blocks → nb·2b total rows.
+    factors = block_tridiag_factor(le, de, ue, nb * 2 * b)
+    n = op.n
+
+    def precond(r):
+        squeeze = r.ndim == 1
+        if squeeze:
+            r = r[:, None]
+        m = r.shape[1]
+        re = jnp.zeros((nb * b, m), r.dtype).at[:n].set(r)
+        # interleave per block: [re_blocks; im_blocks] rows within each block
+        re_blocks = re.reshape(nb, b, m)
+        rhs_e = jnp.concatenate(
+            [re_blocks, jnp.zeros_like(re_blocks)], axis=1
+        ).reshape(nb * 2 * b, m)
+        xe = block_tridiag_apply(factors, rhs_e).astype(r.dtype)
+        x_re = xe.reshape(nb, 2 * b, m)[:, :b].reshape(nb * b, m)[:n]
+        return x_re[:, 0] if squeeze else x_re
+
+    return precond, factors
+
+
+def shifted_gmres_solve(
+    op,
+    c: jax.Array,
+    rhs: jax.Array,
+    sigma: float = 1e-5,
+    block: int | None = None,
+    tol: float = 1e-10,
+    maxiter: int = 40,
+    restart: int = 32,
+) -> Tuple[jax.Array, jax.Array]:
+    """GMRES on A(c)·x = rhs with the shifted-block-direct preconditioner.
+
+    The robust path for strongly indefinite banded systems (in-band
+    Helmholtz at/near resonances) where both Jacobi-Krylov and the
+    unshifted elimination fail. Returns (x, relres [M]).
+    """
+    from morfem_tpu.ops.krylov import gmres
+
+    precond, _ = shifted_block_precond(op, c, sigma=sigma, block=block)
+    mv = op.bind_precise(c)
+    x, relres = gmres(
+        mv, rhs, precond=precond, tol=tol, maxiter=maxiter, restart=restart
+    )
+    return x, relres

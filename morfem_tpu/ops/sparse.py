@@ -7,16 +7,15 @@ factorization; this framework's scaling story for N beyond dense-LU reach
 
   * operators as `jax.experimental.sparse` BCOO (COO blocks — the TPU
     sparse format; SpMV/SpMM lower to gather/segment-sum),
-  * Jacobi-preconditioned Krylov solves (BiCGStab default — the swept
-    system C − k²T is symmetric but indefinite near resonances, so plain
-    CG is not safe; GMRES available for tougher spectra),
-
-    CAVEAT: Jacobi-preconditioned Krylov converges well for diagonally
-    dominant / definite operators (covered by tests), but strongly
-    indefinite in-band Helmholtz systems need specialized preconditioners
-    (shifted-Laplace / multigrid) that no general-purpose library ships;
-    `solve_point_iterative` returns the achieved residual so callers can
-    detect non-convergence instead of silently consuming a bad snapshot,
+  * snapshot solves dispatched by structure (`solve_point_iterative`,
+    method="auto"): BANDED operators take the block-tridiagonal DIRECT
+    elimination (ops/block_tridiag — handles the strongly indefinite
+    in-band Helmholtz systems C − k²T where any Jacobi-Krylov method
+    stagnates, verified at N=34k on-chip); general sparsity takes
+    Jacobi-preconditioned block Krylov (BiCGStab default — the swept
+    system is symmetric but indefinite near resonances, so plain CG is
+    not safe; GMRES available). Krylov callers get the achieved residual
+    back so non-convergence is detected, never silently consumed,
   * the same snapshot → projection → reduced-sweep pipeline on top: the
     estimator and projection already only need operator *applications*
     (U_p = A_p·Q), which are SpMM here.
@@ -107,17 +106,35 @@ def solve_point_iterative(
     rhs: jax.Array,  # [N, M]
     tol: float = 1e-10,
     maxiter: int = 2000,
-    method: str = "bicgstab",
+    method: str = "auto",
     return_residual: bool = False,
 ):
     """Matrix-free solve of A(t)·x = rhs — the large-N snapshot path.
 
-    Jacobi-preconditioned BiCGStab/GMRES per right-hand-side column
-    (columns vmapped). Replaces `splu` (implementation.py:474-476) where
-    dense LU no longer fits. With ``return_residual`` also returns the
-    achieved relative residual per column — Krylov methods on strongly
-    indefinite systems can stagnate, and jax's solvers do not raise.
+    Replaces `splu` (implementation.py:474-476) where dense LU no longer
+    fits. Methods:
+
+    - ``"direct"`` — block-tridiagonal elimination + f64 refinement
+      (ops/block_tridiag), banded operators only. The robust choice: it
+      handles the strongly indefinite in-band Helmholtz systems where
+      every Jacobi-Krylov method stagnates.
+    - ``"bicgstab"`` / ``"gmres"`` — Jacobi-preconditioned block Krylov;
+      fine for definite / diagonally dominant systems, and the only
+      option for non-banded general sparsity.
+    - ``"auto"`` (default) — ``direct`` when the operator carries banded
+      storage (`BandedAffineOperator`), else ``bicgstab``.
+
+    With ``return_residual`` also returns the achieved relative residual
+    per column — Krylov methods on strongly indefinite systems can
+    stagnate, and jax's solvers do not raise.
     """
+    if method == "auto":
+        method = "direct" if hasattr(op, "bands_w") else "bicgstab"
+    if method == "direct":
+        from morfem_tpu.ops.block_tridiag import banded_direct_solve
+
+        x, relres, _ = banded_direct_solve(op, c, rhs)
+        return (x, relres) if return_residual else x
     diag = op.diagonal(c)
     safe = jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)
 
@@ -174,8 +191,13 @@ def sparse_snapshot_basis(
     config: MorfemConfig = DEFAULT_CONFIG,
     tol: float = 1e-10,
     method: str = "bicgstab",
+    op=None,
 ) -> jax.Array:
     """Equally-distributed snapshot basis with iterative large-N solves.
+
+    Pass ``op`` (e.g. a `BandedAffineOperator`) to reuse prepared operator
+    storage and unlock ``method="auto"``'s direct banded path; by default
+    a `SparseAffineOperator` (BCOO) is built from a0/a1/a2.
 
     Returns the orthonormal basis q [N, S·M]. The downstream projection /
     reduced sweep reuse the dense pipeline (the reduced model is dense and
@@ -184,7 +206,8 @@ def sparse_snapshot_basis(
     from morfem_tpu.ops.orthonormalize import orthonormalize_svd
 
     t_a0, t_a1, t_a2, t_b = coeffs
-    op = SparseAffineOperator(a0, a1, a2, symmetrize=config.symmetrize)
+    if op is None:
+        op = SparseAffineOperator(a0, a1, a2, symmetrize=config.symmetrize)
     ts = domain[seed_indices]
     snaps = []
     worst = 0.0
@@ -201,7 +224,16 @@ def sparse_snapshot_basis(
         x, relres = solve_point_iterative(
             op, c, rhs, tol=tol, method=method, return_residual=True
         )
-        worst = max(worst, float(jnp.max(relres)))
+        point_worst = float(jnp.max(relres))
+        if point_worst > max(tol * 100, 1e-8) and hasattr(op, "bands_w"):
+            # near-resonance escalation: the σ-shifted factorization's
+            # condition is bounded by ~1/σ (f32-safe) where the unshifted
+            # one's refinement stagnates — see ops/block_tridiag
+            from morfem_tpu.ops.block_tridiag import shifted_gmres_solve
+
+            x, relres = shifted_gmres_solve(op, c, rhs, tol=tol, maxiter=60)
+            point_worst = float(jnp.max(relres))
+        worst = max(worst, point_worst)
         snaps.append(x)
     if worst > max(tol * 100, 1e-8):
         import warnings

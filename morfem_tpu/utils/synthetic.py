@@ -136,3 +136,65 @@ def waveguide_like_system(
     gamma = -t_mat * ((2 * np.pi / c_lightspeed) ** 2)
     domain = jnp.linspace(f_lo, f_hi, num_points, dtype=dtype)
     return domain, c_mat, gamma, b
+
+
+def banded_waveguide_system(
+    n: int,
+    m: int = 2,
+    half: int = 8,
+    seed: int = 0,
+    length_m: float = 20.0,
+):
+    """Banded waveguide-like Helmholtz pencil at large N (SciPy sparse).
+
+    The reference's large-N stress case is the rate-10 block-diagonal
+    upscale of the bundled waveguide (fake_interpolate_bigger_sample.py:14),
+    whose Ct/Tt blobs are absent from the mount; this generator stands in
+    with the real structure those matrices have: a BANDED FEM
+    discretization whose pencil (C, T) puts hundreds of modes inside the
+    3–5 GHz k₀² band — so A(f) = C − k₀²T is strongly indefinite at every
+    in-band frequency, the regime where Jacobi-Krylov stagnates and the
+    block-tridiagonal direct solver (ops/block_tridiag) is required.
+
+    Base: 1-D P1 FEM stiffness/mass on [0, L] (tridiagonal, h = L/(n+1));
+    eigenvalues ≈ (jπ/L)², so L=20 m puts ~270 modes in the band. A small
+    banded random symmetric perturbation widens the bandwidth to ``half``
+    while keeping C and T safely SPD (Gershgorin margins checked by
+    construction). Returns (c, t, wp): SciPy CSR matrices + dense ports.
+    Use with the waveguide wave form: a0=c, a2=GAMMA_SCALE·t, t_a2=f².
+    """
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    h = length_m / (n + 1)
+    # The in-band Helmholtz shift per low mode is ≈ h·k₀² (mass-matrix
+    # scale times k₀² ∈ [3.9e3, 1.1e4] over 3–5 GHz). The perturbation and
+    # its SPD Gershgorin margin must stay well BELOW that shift or the
+    # margin re-definitizes A(f) and the "indefinite" claim is false
+    # (a 0.08/h margin ≈ 137 vs a shift ≈ 4.5 did exactly that).
+    shift_scale = h * (2 * np.pi * 4e9 / 299792458.0) ** 2  # mid-band
+    pert = 0.02 * shift_scale
+    margin = 2 * pert * sum(0.5 ** (d - 2) for d in range(2, half + 1))
+    main_c = np.full(n, 2.0 / h + margin)
+    off_c = np.full(n - 1, -1.0 / h)
+    c = sp.diags([off_c, main_c, off_c], [-1, 0, 1], format="lil")
+    main_t = np.full(n, 4.0 * h / 6.0)
+    off_t = np.full(n - 1, h / 6.0)
+    t = sp.diags([off_t, main_t, off_t], [-1, 0, 1], format="lil")
+    # banded symmetric perturbations, geometrically damped with offset —
+    # total off-diagonal mass stays below the diagonal margin (SPD kept)
+    for d in range(2, half + 1):
+        vc = rng.uniform(-1.0, 1.0, size=n - d) * pert * 0.5 ** (d - 2)
+        c[np.arange(n - d), np.arange(d, n)] = vc
+        c[np.arange(d, n), np.arange(n - d)] = vc
+        vt = rng.uniform(-1.0, 1.0, size=n - d) * (0.02 * h / 6) * 0.5 ** (
+            d - 2
+        )
+        t[np.arange(n - d), np.arange(d, n)] = vt
+        t[np.arange(d, n), np.arange(n - d)] = vt
+    wp = np.zeros((n, m))
+    nnz = max(8, n // 1000)
+    for j in range(m):
+        rows = rng.choice(n, size=nnz, replace=False)
+        wp[rows, j] = rng.uniform(0.5, 1.0, size=nnz)
+    return c.tocsr(), t.tocsr(), wp
