@@ -211,9 +211,25 @@ def estimate_errors_direct(
             jnp.einsum("ip,pinm->inm", cc, ux, precision=_HI)
             - cbc[:, None, None] * b
         )
-        # err = ‖RᴴR‖_F  (reference norm semantics, implementation.py:424)
-        rhr = jnp.einsum("inm,inl->iml", r.conj(), r, precision=_HI)
-        return jnp.sqrt(jnp.sum(jnp.abs(rhr) ** 2, axis=(-1, -2)))
+        # err = ‖RᴴR‖_F (reference norm semantics, implementation.py:424),
+        # computed SCALE-INVARIANTLY: TPU's emulated f64 is a double-f32
+        # pair whose multiply squares the hi word — any factor beyond
+        # ~1.8e19 overflows f32's range and returns NaN (inf − inf in the
+        # renormalization). ‖RᴴR‖_F is quartic in R, so physical scales
+        # like ‖b‖ ~ f ≈ 4e9 cross that cliff at the very first greedy
+        # iteration (observed on a v5e: 98/100 points NaN, greedy
+        # poison-bailed after the seeds). Normalize R per point first;
+        # the final s²·‖·‖ product stays far below the f32 range.
+        s = jnp.maximum(
+            jnp.max(jnp.abs(r), axis=(-1, -2), keepdims=True),
+            jnp.asarray(1e-300, r.real.dtype),
+        )
+        rn = r / s
+        rhr = jnp.einsum("inm,inl->iml", rn.conj(), rn, precision=_HI)
+        norm_n = jnp.sqrt(jnp.sum(jnp.abs(rhr) ** 2, axis=(-1, -2)))
+        # (s·√ν)² rather than s²·ν: every multiply's factors stay ≤ √(f32
+        # max), so the result is safe over emulated-f64's whole range
+        return jnp.square(s[:, 0, 0].real * jnp.sqrt(norm_n))
 
     err = jax.lax.map(chunk_err, (c_ch, cb_ch, x_ch))
     err = err.reshape(-1)[:i_pts]

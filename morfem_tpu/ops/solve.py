@@ -132,6 +132,27 @@ def _refine_adaptive(a, b, x0, apply_factor, refine_iterations: int):
     rdtype = jnp.zeros((), work_dtype).real.dtype
     tol = 10 * jnp.finfo(work_dtype).eps * jnp.linalg.norm(b_w)
 
+    # A is loop-invariant: on the TPU real-f64 path, pre-split it once for
+    # the Ozaki residual matmuls (2.7 ms/iter prepared vs 8 ms emulated
+    # f64 at N=3456) — XLA does not hoist the split out of the while_loop
+    # on its own (measured).
+    from morfem_tpu.ops import precision as _prec
+
+    if (
+        work_dtype == jnp.dtype(jnp.float64)
+        and a_w.shape[-1] >= _prec.OZAKI_MIN_K
+        and jax.default_backend() not in ("cpu",)
+    ):
+        from morfem_tpu.ops.precision import ozaki_apply, ozaki_prepare
+
+        prep = ozaki_prepare(a_w)
+
+        def residual_mm(x):
+            return ozaki_apply(prep, x)
+    else:
+        def residual_mm(x):
+            return precise_matmul(a_w, x)
+
     def cond_fn(state):
         _, _, r_norm, r_prev, it = state
         improving = r_norm < 0.95 * r_prev
@@ -143,10 +164,10 @@ def _refine_adaptive(a, b, x0, apply_factor, refine_iterations: int):
     def body_fn(state):
         x, r, r_norm, _, it = state
         x = x + apply_factor(r)
-        r_new = b_w - precise_matmul(a_w, x)
+        r_new = b_w - residual_mm(x)
         return (x, r_new, jnp.linalg.norm(r_new), r_norm, it + 1)
 
-    r0 = b_w - precise_matmul(a_w, x0)
+    r0 = b_w - residual_mm(x0)
     state = (
         x0, r0, jnp.linalg.norm(r0), jnp.asarray(jnp.inf, rdtype),
         jnp.asarray(0),

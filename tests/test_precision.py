@@ -111,3 +111,67 @@ class TestKrylov:
         np.testing.assert_allclose(
             np.asarray(x), np.linalg.solve(a, b), rtol=1e-6, atol=1e-9
         )
+
+
+class TestOzakiMatmul:
+    """f64-exact matmul via integer-valued bf16 MXU passes (Ozaki scheme).
+
+    The TPU replacement for XLA's emulated f64 matmul inside refinement
+    loops (see ops/precision.py::ozaki_matmul). These tests run the exact
+    same pass structure on CPU — exactness is a property of the arithmetic
+    (integer partial sums < 2^24 in f32), not of the backend.
+    """
+
+    def test_exact_vs_numpy_various_k(self):
+        from morfem_tpu.ops.precision import ozaki_matmul, ozaki_params
+
+        rng = np.random.default_rng(0)
+        for k, m, n in [(300, 32, 8), (3411, 64, 2), (40000, 8, 4)]:
+            beta, q = ozaki_params(k)
+            assert (2 ** (2 * beta)) * k <= 2 ** 24  # exactness condition
+            a = rng.normal(size=(m, k)) * np.exp(rng.normal(size=(m, 1)) * 4)
+            b = rng.normal(size=(k, n)) * np.exp(rng.normal(size=(1, n)) * 4)
+            ref = a @ b
+            got = np.asarray(ozaki_matmul(jnp.asarray(a), jnp.asarray(b)))
+            rel = np.abs(got - ref).max() / np.abs(ref).max()
+            assert rel < 5e-15, f"K={k}: {rel:.2e}"
+
+    def test_dynamic_range_and_cancellation(self):
+        from morfem_tpu.ops.precision import ozaki_matmul
+
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(16, 2000))
+        a[:, ::7] *= 1e12  # 1e12 dynamic range within rows
+        b = rng.normal(size=(2000, 4))
+        b[::3] *= 1e-9
+        ref = a @ b
+        got = np.asarray(ozaki_matmul(jnp.asarray(a), jnp.asarray(b)))
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 5e-15
+        # residual-style cancellation: r = A·x − b with b = A·x exactly
+        n = 400
+        s = rng.normal(size=(n, n)) + 5 * np.eye(n)
+        x = rng.normal(size=(n, 2))
+        bx = s @ x
+        r = np.asarray(ozaki_matmul(jnp.asarray(s), jnp.asarray(x))) - bx
+        assert np.abs(r).max() / np.abs(bx).max() < 5e-15
+
+    def test_prepare_apply_matches_and_vmaps(self):
+        from morfem_tpu.ops.precision import (
+            ozaki_apply,
+            ozaki_matmul,
+            ozaki_prepare,
+        )
+
+        rng = np.random.default_rng(2)
+        a = jnp.asarray(rng.normal(size=(300, 300)))
+        b = jnp.asarray(rng.normal(size=(300, 2)))
+        prep = ozaki_prepare(a)
+        np.testing.assert_array_equal(
+            np.asarray(ozaki_apply(prep, b)), np.asarray(ozaki_matmul(a, b))
+        )
+        # vmap over a batch of systems (the solve_batch pattern)
+        ab = jnp.asarray(rng.normal(size=(3, 128, 128)))
+        bb = jnp.asarray(rng.normal(size=(3, 128, 2)))
+        got = jax.vmap(ozaki_matmul)(ab, bb)
+        ref = np.einsum("bij,bjk->bik", np.asarray(ab), np.asarray(bb))
+        assert np.abs(np.asarray(got) - ref).max() / np.abs(ref).max() < 5e-15
