@@ -153,9 +153,19 @@ def greedy_basis(
             u = operator_images(sys, s.q, s.ncols)
             rm = _reduced_from_u(sys, s.q, s.ncols, u)
             err, _ = estimate_errors_direct(rm, u, sys.b, config)
-        err_hist = s.err_hist.at[s.it].set(err)
+        # Under vmap (multi_geometry_greedy) the while_loop runs until the
+        # SLOWEST lane converges and the body keeps executing for lanes
+        # that are already done — every state update below is guarded by
+        # s.done so a finished lane's result is bit-identical to its
+        # serial run (frozen it/err_hist, no further basis growth even
+        # for stagnated-not-converged lanes).
+        err_hist = s.err_hist.at[s.it].set(
+            jnp.where(s.done, s.err_hist[s.it], err)
+        )
         err_max = jnp.max(err)
-        converged = err_max < config.error_threshold
+        converged = jnp.where(
+            s.done, s.converged, err_max < config.error_threshold
+        )
         # Out of column budget → stop expanding even if not converged.
         out_of_budget = s.ncols + m > k
         # A NaN estimate can never converge; bail out instead of burning
@@ -181,8 +191,12 @@ def greedy_basis(
             independent = jnp.max(ratio) > config.dependency_tolerance
             return x_new, independent
 
+        skip = jnp.logical_or(
+            jnp.logical_or(converged, s.done),
+            jnp.logical_or(out_of_budget, poisoned),
+        )
         x_new, independent = lax.cond(
-            jnp.logical_or(converged, jnp.logical_or(out_of_budget, poisoned)),
+            skip,
             lambda args: (jnp.zeros((n, m), s.q.dtype), jnp.asarray(False)),
             solve_new,
             (s.q, s.ncols),
@@ -205,13 +219,16 @@ def greedy_basis(
             independent, expand, lambda args: args, (s.q, s.ncols)
         )
         done = jnp.logical_or(
-            jnp.logical_or(converged, out_of_budget),
-            jnp.logical_or(poisoned, ~independent),
+            s.done,
+            jnp.logical_or(
+                jnp.logical_or(converged, out_of_budget),
+                jnp.logical_or(poisoned, ~independent),
+            ),
         )
         return GreedyState(
             q=q2,
             ncols=ncols2,
-            it=s.it + 1,
+            it=jnp.where(s.done, s.it, s.it + 1),
             err_hist=err_hist,
             converged=converged,
             done=done,

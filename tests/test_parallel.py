@@ -220,3 +220,54 @@ def test_multi_geometry_greedy(eight_devices):
         qb = np.asarray(res.q[g])[:, :nc_b]
         qs = np.asarray(rs.q)[:, :nc_s]
         np.testing.assert_allclose(qb @ qb.T, qs @ qs.T, atol=1e-9)
+
+
+def test_multi_geometry_greedy_heterogeneous(eight_devices):
+    """Lanes that converge at different speeds (VERDICT r1 weak item 5):
+    the vmapped while_loop runs until the SLOWEST lane converges, and a
+    finished lane's state must come out IDENTICAL to its serial run —
+    frozen iteration count, no extra err_hist rows, no basis growth."""
+    from morfem_tpu.parallel.sharded import multi_geometry_greedy
+    from morfem_tpu import greedy_basis
+    from morfem_tpu.utils.synthetic import waveguide_like_system
+
+    cfg = CFG.replace(max_greedy_iterations=14, error_threshold=1e6)
+    # threshold is the reference's ABSOLUTE squared residual; with
+    # ||b|| ~ f ~ 4e9 this is a ~2e-7 relative residual
+    systems = []
+    for g, n_inband in enumerate((0, 10)):  # easy lane vs hard lane
+        domain, c, gamma, b = waveguide_like_system(
+            jax.random.PRNGKey(20 + g), n=64, num_points=12,
+            n_inband=n_inband,
+        )
+        systems.append(
+            AffineSystem.create(
+                domain, c, np.zeros_like(np.asarray(c)), gamma, b
+            )
+        )
+    a0, a1, a2, b, dom = batch_systems(systems)
+    coeffs = (
+        systems[0].t_a0, systems[0].t_a1, systems[0].t_a2, systems[0].t_b,
+    )
+    res = multi_geometry_greedy(a0, a1, a2, b, dom, coeffs, cfg)
+    assert bool(jnp.all(res.converged))
+    serial = [greedy_basis(sys, cfg) for sys in systems]
+    # the hard lane must actually be slower, or this test shows nothing
+    assert int(serial[1].iterations) > int(serial[0].iterations)
+    for g, rs in enumerate(serial):
+        assert int(res.ncols[g]) == int(rs.ncols)
+        assert int(res.iterations[g]) == int(rs.iterations), (
+            f"lane {g}: vmapped iterations {int(res.iterations[g])} != "
+            f"serial {int(rs.iterations)} — finished lane not frozen"
+        )
+        # atol 1.0 in absolute-squared-residual units = a residual of 1
+        # against ||b|| ~ 4e9 — entries below that are estimator noise
+        # floor, where batched vs serial matmul order legitimately differs
+        np.testing.assert_allclose(
+            np.asarray(res.err_hist[g]), np.asarray(rs.err_hist),
+            rtol=1e-7, atol=1.0,
+        )
+        nc = int(rs.ncols)
+        qb = np.asarray(res.q[g])[:, :nc]
+        qs = np.asarray(rs.q)[:, :nc]
+        np.testing.assert_allclose(qb @ qb.T, qs @ qs.T, atol=1e-7)
