@@ -203,6 +203,29 @@ def main():
     log(f"dense re-sweep spectral ({DENSE_POINTS} pts): {t_dense*1e3:.1f} ms "
         f"({DENSE_POINTS/t_dense:,.0f} points/s; vs LU rel {sp_rel:.1e})")
 
+    # ---- full-order spectral serving: diagonalize the N-pencil once ----
+    from morfem_tpu.ops.spectral_solve import prepare_spectral_full
+
+    t0 = time.perf_counter()
+    fs = prepare_spectral_full(sys_, cfg)
+    t_prep = time.perf_counter() - t0
+    FULL_DENSE = 2000
+    fgrids = [
+        jnp.linspace(freq[0] + i * 1e3, freq[-1], FULL_DENSE)
+        for i in range(8)
+    ]
+    fs_fn = jax.jit(lambda g: fs.sweep(g))
+    t_fs = timed(fs_fn, fgrids, reps=3)
+    x_fs100 = fs.sweep(sys_.domain)
+    fs_rel = float(
+        jnp.linalg.norm(x_fs100 - x_full) / jnp.linalg.norm(x_full)
+    )
+    log(
+        f"FULL-ORDER spectral re-sweep ({FULL_DENSE} pts): {t_fs*1e3:.1f} ms"
+        f" ({FULL_DENSE/t_fs:,.0f} points/s; prepare {t_prep:.1f} s host;"
+        f" vs LU full sweep rel {fs_rel:.1e})"
+    )
+
     # ---- blocked GJ inverse backend: on-chip quality + time at N ----
     from morfem_tpu.ops.assembly import assemble_at
     from morfem_tpu.ops.blocked_inverse import gj_inverse_f32
@@ -248,6 +271,9 @@ def main():
             "dense_points_per_s_pallas": round(DENSE_POINTS / t_dense_pal),
             "spectral_vs_lu_rel": sp_rel,
             "pallas_vs_lu_rel": pal_rel,
+            "full_spectral_points_per_s": int(FULL_DENSE / t_fs),
+            "full_spectral_prepare_s": round(t_prep, 1),
+            "full_spectral_vs_lu_rel": fs_rel,
             "gj_inverse_ms": round(t_gj * 1e3, 1),
             "gj_identity_residual": gj_res,
             "device": str(jax.devices()[0]),

@@ -23,6 +23,11 @@ from morfem_tpu.mor.api import morfem, build_reduced_model
 from morfem_tpu.mor.reduced import ReducedModel, project, sweep
 from morfem_tpu.mor.greedy import greedy_basis, GreedyResult
 from morfem_tpu.mor.equally import equally_distributed_basis
+from morfem_tpu.ops.spectral_solve import (
+    FullOrderSpectral,
+    prepare_spectral_full,
+    spectral_full_sweep,
+)
 from morfem_tpu.mor.spectral import (
     SpectralModel,
     QuadraticSpectralModel,
@@ -72,6 +77,9 @@ __all__ = [
     "equally_distributed_basis",
     "SpectralModel",
     "QuadraticSpectralModel",
+    "FullOrderSpectral",
+    "prepare_spectral_full",
+    "spectral_full_sweep",
     "prepare_spectral",
     "prepare_spectral_quadratic",
     "spectral_sweep",

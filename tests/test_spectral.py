@@ -361,3 +361,62 @@ class TestQuadraticSpectral:
         rm = project(sys_, q)
         with pytest.raises(ValueError, match="t_a2"):
             prepare_spectral_quadratic(rm, CFG)
+
+
+class TestFullOrderSpectral:
+    """Full-order (K = N) spectral sweep — ops/spectral_solve.py."""
+
+    def test_matches_lu_sweep_and_custom_grid(self):
+        import dataclasses
+
+        from morfem_tpu.config import DEFAULT_CONFIG as cfg
+        from morfem_tpu.ops.solve import solve_sweep
+        from morfem_tpu.ops.spectral_solve import prepare_spectral_full
+        from morfem_tpu.system import AffineSystem
+        from morfem_tpu.utils.synthetic import waveguide_like_system
+
+        domain, c, g, b = waveguide_like_system(
+            jax.random.PRNGKey(0), n=192, num_points=30
+        )
+        sys_ = AffineSystem.create(
+            domain, c, np.zeros_like(np.asarray(c)), g, b
+        )
+        fs = prepare_spectral_full(sys_, cfg)
+        xs = fs.sweep()
+        oracle = solve_sweep(sys_, cfg)
+        rel = float(jnp.linalg.norm(xs - oracle) / jnp.linalg.norm(oracle))
+        assert rel < 1e-10, rel
+        ts = jnp.linspace(3.2e9, 4.8e9, 17)
+        xs2 = fs.sweep(ts)
+        o2 = solve_sweep(dataclasses.replace(sys_, domain=ts), cfg)
+        rel2 = float(jnp.linalg.norm(xs2 - o2) / jnp.linalg.norm(o2))
+        assert rel2 < 1e-10, rel2
+
+    def test_rejects_three_term_and_complex(self):
+        import dataclasses
+
+        import pytest
+
+        from morfem_tpu.config import DEFAULT_CONFIG as cfg
+        from morfem_tpu.ops.spectral_solve import prepare_spectral_full
+        from morfem_tpu.system import AffineSystem
+        from morfem_tpu.utils.synthetic import waveguide_like_system
+
+        domain, c, g, b = waveguide_like_system(
+            jax.random.PRNGKey(1), n=64, num_points=8
+        )
+        sys_ = AffineSystem.create(
+            domain, c, np.zeros_like(np.asarray(c)), g, b
+        )
+        with pytest.raises(ValueError):
+            prepare_spectral_full(
+                dataclasses.replace(sys_, a1=jnp.eye(64, dtype=jnp.float64)),
+                cfg,
+            )
+        with pytest.raises(ValueError):
+            prepare_spectral_full(
+                dataclasses.replace(
+                    sys_, b=sys_.b.astype(jnp.complex128)
+                ),
+                cfg,
+            )
