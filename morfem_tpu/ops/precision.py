@@ -274,22 +274,45 @@ def ozaki_apply(prep, b: jax.Array) -> jax.Array:
         )
     p_cols = n + pad
     sb, eb = ozaki_split(b, axis=-2, beta=beta, q=q)
-    out = None
-    # every pass is exact; recombine ENTIRELY in f64 (elementwise on the
-    # small output), smallest weights first so nothing is swamped
     if p_cols * q <= 512:
-        xcat = jnp.concatenate(sb, axis=-1)  # [..., k, q·p]
-        for i in range(q - 1, -1, -1):
-            width = (q - i) * p_cols  # pair cap i+j ≤ q−1
-            pi = jnp.matmul(
-                sa[i], xcat[..., :width], preferred_element_type=jnp.float32
-            )
-            for j in range(q - 1 - i, -1, -1):
-                term = pi[..., j * p_cols : (j + 1) * p_cols].astype(
-                    jnp.float64
-                ) * float(2.0 ** (-beta * (i + j + 2)))
-                out = term if out is None else out + term
+        # LHS-stationary as ONE lax.scan over the stacked A-slices: the
+        # RHS slices are concatenated with their 2^(−β(j+1)) weights
+        # folded in (a power-of-2 scale only shifts the bf16 exponent, so
+        # each column block still accumulates exactly on its own grid).
+        # One matmul per scan step keeps the traced graph small — the
+        # unrolled 55-matmul form added ~minutes of XLA compile when
+        # embedded in the greedy while_loop.
+        xcat = jnp.concatenate(
+            [
+                sb[j] * jnp.asarray(2.0 ** (-beta * (j + 1)), jnp.bfloat16)
+                for j in range(q)
+            ],
+            axis=-1,
+        )  # [..., k, q·p] bf16 (power-of-2 scales are exact in bf16)
+        sa_stack = jnp.stack(sa)  # [q, ..., m, k]
+        wi = jnp.asarray(
+            [2.0 ** (-beta * (i + 1)) for i in range(q - 1, -1, -1)],
+            jnp.float64,
+        )
+
+        def step(acc, inputs):
+            sai, w = inputs
+            pi = jnp.matmul(sai, xcat, preferred_element_type=jnp.float32)
+            shp = pi.shape[:-1] + (q, p_cols)
+            blocks = pi.reshape(shp).astype(jnp.float64)
+            return acc + w * jnp.sum(blocks, axis=-2), None
+
+        out0 = jnp.zeros(
+            jnp.broadcast_shapes(sa[0].shape[:-2], b.shape[:-2])
+            + (sa[0].shape[-2], p_cols),
+            jnp.float64,
+        )
+        # smallest weights first so nothing is swamped
+        out, _ = jax.lax.scan(step, out0, (sa_stack[::-1], wi))
     else:
+        out = None
+        # wide RHS: pair loop with the i+j ≤ q−1 weight cap (FLOP-bound
+        # regime; the concatenation would multiply FLOPs by ~q)
         for w in range(q - 1, -1, -1):
             for i in range(max(0, w - q + 1), min(w, q - 1) + 1):
                 p = jnp.matmul(
