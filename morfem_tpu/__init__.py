@@ -23,6 +23,12 @@ from morfem_tpu.mor.api import morfem, build_reduced_model
 from morfem_tpu.mor.reduced import ReducedModel, project, sweep
 from morfem_tpu.mor.greedy import greedy_basis, GreedyResult
 from morfem_tpu.mor.equally import equally_distributed_basis
+from morfem_tpu.ops.block_tridiag import (
+    banded_direct_solve,
+    banded_via_rcm,
+    rcm_direct_solve,
+    shifted_gmres_solve,
+)
 from morfem_tpu.ops.spectral_solve import (
     FullOrderSpectral,
     prepare_spectral_full,
@@ -77,6 +83,10 @@ __all__ = [
     "equally_distributed_basis",
     "SpectralModel",
     "QuadraticSpectralModel",
+    "banded_direct_solve",
+    "banded_via_rcm",
+    "rcm_direct_solve",
+    "shifted_gmres_solve",
     "FullOrderSpectral",
     "prepare_spectral_full",
     "spectral_full_sweep",

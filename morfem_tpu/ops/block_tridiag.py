@@ -301,6 +301,82 @@ def shifted_block_precond(
     return precond, factors
 
 
+def banded_via_rcm(
+    a0,
+    a1,
+    a2,
+    symmetrize: bool = True,
+    max_half: int = 2048,
+    tile: int = 512,
+):
+    """Wrap a GENERAL sparse pencil as a banded operator via RCM reordering.
+
+    The reference's `splu` accepts arbitrary CSC sparsity
+    (implementation.py:474-476); the TPU direct path (`block_tridiag`)
+    needs banded structure. Reverse Cuthill–McKee permutation recovers
+    that structure for the matrices FEM assembly actually produces —
+    mesh-graph sparsity whose bandwidth is O(√N·stencil) under a good
+    ordering even when the assembly order scrambled it.
+
+    Returns (op: BandedAffineOperator on the permuted pencil,
+    perm [N] int array). Solve with the permuted RHS and un-permute:
+
+        x_perm, relres, _ = banded_direct_solve(op, c, rhs[perm])
+        x = jnp.zeros_like(x_perm).at[perm].set(x_perm)
+
+    Raises ValueError when the reordered half-bandwidth exceeds
+    ``max_half`` (truly unstructured sparsity) — callers fall back to
+    Jacobi-Krylov (`solve_point_iterative` method="bicgstab").
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    from morfem_tpu.ops.pallas.banded_matvec import BandedAffineOperator
+
+    mats = [
+        m if sp.issparse(m) else sp.csr_matrix(np.asarray(m))
+        for m in (a0, a1, a2)
+    ]
+    pattern = sum(abs(m).tocsr() for m in mats)
+    pattern = (pattern + pattern.T).tocsr()  # RCM wants symmetric structure
+    perm = np.asarray(reverse_cuthill_mckee(pattern, symmetric_mode=True))
+    permuted = [m.tocsr()[perm][:, perm] for m in mats]
+    coo = sum(abs(m) for m in permuted).tocoo()
+    half = int(np.max(np.abs(coo.row - coo.col))) if coo.nnz else 0
+    if half > max_half:
+        raise ValueError(
+            f"RCM-reordered half-bandwidth {half} exceeds {max_half} — "
+            "sparsity is not band-recoverable; use the Krylov path"
+        )
+    op = BandedAffineOperator(*permuted, symmetrize=symmetrize, tile=tile)
+    return op, jnp.asarray(perm)
+
+
+def rcm_direct_solve(
+    a0,
+    a1,
+    a2,
+    c: jax.Array,
+    rhs: jax.Array,
+    config: MorfemConfig = DEFAULT_CONFIG,
+    **kwargs,
+):
+    """One-call general-sparse direct solve: RCM → banded elimination.
+
+    The full `splu` replacement for arbitrary sparse pencils: permute to
+    banded form, factor with block-Thomas + f64 refinement, un-permute.
+    Returns (x, relres, iterations). For repeated solves at many
+    parameter points, build the operator ONCE with `banded_via_rcm` and
+    call `banded_direct_solve` directly.
+    """
+    op, perm = banded_via_rcm(a0, a1, a2, symmetrize=config.symmetrize)
+    x_p, relres, iters = banded_direct_solve(
+        op, c, jnp.asarray(rhs)[perm], config=config, **kwargs
+    )
+    x = jnp.zeros_like(x_p).at[perm].set(x_p)
+    return x, relres, iters
+
+
 def shifted_gmres_solve(
     op,
     c: jax.Array,

@@ -200,3 +200,52 @@ def test_greedy_matfree_banded_indefinite_end_to_end():
         rec = np.asarray(rm.q[:, : rm.r0.shape[0]] @ x_r[i])
         err = np.linalg.norm(rec - ref) / np.linalg.norm(ref)
         assert err < 1e-7, f"point {i}: rel err {err:.2e}"
+
+
+def test_rcm_general_sparse_direct_solve():
+    """Arbitrary-ordering sparse pencil (the reference's splu domain):
+    RCM recovers banded structure and the direct solve matches a dense
+    oracle — including an indefinite in-band point."""
+    import scipy.sparse as sp
+
+    from morfem_tpu.apps.waveguide import GAMMA_SCALE
+    from morfem_tpu.ops.block_tridiag import banded_via_rcm, rcm_direct_solve
+    from morfem_tpu.utils.synthetic import banded_waveguide_system
+
+    n = 1500
+    c, t, wp = banded_waveguide_system(n, m=2, half=5, seed=11)
+    gamma = (t * GAMMA_SCALE).tocsr()
+    # scramble the ordering — what unstructured FEM assembly produces
+    rng = np.random.default_rng(0)
+    scram = rng.permutation(n)
+    cs = c.tocsr()[scram][:, scram]
+    gs = gamma.tocsr()[scram][:, scram]
+    zero = sp.csr_matrix((n, n))
+    op, perm = banded_via_rcm(cs, zero, gs)
+    assert op.half <= 3 * 5 + 2, f"RCM bandwidth {op.half} too large"
+
+    f = 4.2e9
+    coef = jnp.asarray([1.0, 0.0, f * f])
+    rhs = jnp.asarray(np.asarray(wp)[scram])
+    x, relres, iters = rcm_direct_solve(cs, zero, gs, coef, rhs)
+    assert float(jnp.max(relres)) < 1e-10
+    a_dense = (cs + gs * (f * f)).toarray()
+    a_dense = (a_dense + a_dense.T) / 2
+    ref = np.linalg.solve(a_dense, np.asarray(rhs))
+    assert np.linalg.norm(np.asarray(x) - ref) / np.linalg.norm(ref) < 1e-8
+
+
+def test_rcm_rejects_unstructured():
+    import pytest
+    import scipy.sparse as sp
+
+    from morfem_tpu.ops.block_tridiag import banded_via_rcm
+
+    n = 400
+    rng = np.random.default_rng(1)
+    # dense random sparsity — no ordering makes this banded
+    a = sp.random(n, n, density=0.2, random_state=1, format="csr")
+    a = a + a.T + sp.eye(n)
+    zero = sp.csr_matrix((n, n))
+    with pytest.raises(ValueError):
+        banded_via_rcm(a, zero, zero, max_half=32)
