@@ -178,6 +178,122 @@ def block_tridiag_apply(factors: BlockTridiagFactors, rhs: jax.Array):
     return x.reshape(nb * b, m)[:n]
 
 
+class CRLevel(NamedTuple):
+    """One cyclic-reduction level (all arrays batched over block index)."""
+
+    a: jax.Array  # [h, b, b] = L_even·D_odd_left⁻¹
+    bm: jax.Array  # [h, b, b] = U_even·D_odd_right⁻¹
+    dinv: jax.Array  # [h, b, b] = D_odd⁻¹
+    lo: jax.Array  # [h, b, b] odd-block L (for back-substitution)
+    uo: jax.Array  # [h, b, b] odd-block U
+
+
+class CRFactors(NamedTuple):
+    levels: Tuple  # CRLevel per reduction level
+    dinv_root: jax.Array  # [b, b] inverse of the final single block
+    n: int  # true row count
+
+
+def _shift_down(x):
+    """x[k] → x[k−1] with a leading zero block (batched)."""
+    return jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+
+
+def cyclic_reduction_factor(
+    l: jax.Array, d: jax.Array, u: jax.Array, n: int
+) -> CRFactors:
+    """Block cyclic reduction factorization — log₂(nb) BATCHED levels.
+
+    The block-Thomas scan (`block_tridiag_factor`) is a chain of nb
+    sequential steps whose per-step b×b inverse rides XLA's slow
+    TriangularSolve — latency-bound at large N (measured ~3 s of the
+    4.1 s N=34k solve). Cyclic reduction eliminates every ODD block
+    simultaneously per level:
+
+        D'_k = D_2k − L_2k·D_2k−1⁻¹·U_2k−1 − U_2k·D_2k+1⁻¹·L_2k+1
+        L'_k = −L_2k·D_2k−1⁻¹·L_2k−1,   U'_k = −U_2k·D_2k+1⁻¹·U_2k+1
+
+    so each level is ONE batched inverse + a handful of batched b×b
+    matmuls on the MXU, and only ⌈log₂ nb⌉ levels exist. Same
+    no-cross-block-pivoting trade as block-Thomas, except the RAW odd
+    diagonal blocks are inverted (slightly more fragile on indefinite
+    systems — the refinement + shifted-GMRES escalation in
+    `banded_direct_solve` covers breakdowns either way). Odd block
+    counts are padded with decoupled identity blocks.
+    """
+    f32 = jnp.float32
+    l = l.astype(f32)
+    d = d.astype(f32)
+    u = u.astype(f32)
+    levels = []
+    while d.shape[0] > 1:
+        nb = d.shape[0]
+        if nb % 2:
+            b = d.shape[-1]
+            eye = jnp.eye(b, dtype=f32)[None]
+            l = jnp.concatenate([l, jnp.zeros_like(l[:1])], axis=0)
+            u = jnp.concatenate([u, jnp.zeros_like(u[:1])], axis=0)
+            d = jnp.concatenate([d, eye], axis=0)
+            nb += 1
+        lo, do, uo = l[1::2], d[1::2], u[1::2]
+        le, de, ue = l[0::2], d[0::2], u[0::2]
+        dinv = jnp.linalg.inv(do)  # ONE batched inverse per level
+        a = _mm(le, _shift_down(dinv))  # L_even·D_left⁻¹ (k=0 row → 0)
+        bm = _mm(ue, dinv)  # U_even·D_right⁻¹
+        levels.append(CRLevel(a=a, bm=bm, dinv=dinv, lo=lo, uo=uo))
+        l = -_mm(a, _shift_down(lo))
+        d = de - _mm(a, _shift_down(uo)) - _mm(bm, lo)
+        u_next = jnp.zeros_like(uo)
+        u_next = u_next.at[:-1].set(-_mm(bm[:-1], uo[:-1]))
+        # last even block's right-neighbor U is the (zero) boundary
+        u = u_next
+    return CRFactors(
+        levels=tuple(levels), dinv_root=jnp.linalg.inv(d[0]), n=n
+    )
+
+
+def cyclic_reduction_apply(factors: CRFactors, rhs: jax.Array) -> jax.Array:
+    """Apply the CR factorization: approximate A⁻¹·rhs, f32 compute.
+
+    Forward: per level, fold the odd rows into the even system.
+    Backward: recover odd rows by one batched solve per level. All
+    per-level work is batched b×b×m matmuls — 2·⌈log₂ nb⌉ steps total.
+    """
+    f32 = jnp.float32
+    b = factors.dinv_root.shape[-1]
+    m = rhs.shape[1]
+    pad_m = max(0, 8 - m)  # narrow-lane pathology guard (see precision.py)
+    n = factors.n
+    nb0 = factors.levels[0].dinv.shape[0] * 2 if factors.levels else 1
+    r = jnp.zeros((nb0 * b, m + pad_m), f32)
+    r = r.at[:n, :m].set(rhs[:n].astype(f32))
+    r = r.reshape(nb0, b, m + pad_m)
+
+    saved = []
+    for lev in factors.levels:
+        if r.shape[0] % 2:
+            r = jnp.concatenate([r, jnp.zeros_like(r[:1])], axis=0)
+        ro, re = r[1::2], r[0::2]
+        saved.append(ro)
+        r = re - _mm(lev.a, _shift_down(ro)) - _mm(lev.bm, ro)
+
+    x = _mm(factors.dinv_root[None], r)  # [1, b, m]
+    for lev, ro in zip(reversed(factors.levels), reversed(saved)):
+        h = lev.dinv.shape[0]
+        x_even = x[:h]
+        x_next = jnp.concatenate(
+            [x_even[1:], jnp.zeros_like(x_even[:1])], axis=0
+        )
+        x_odd = _mm(
+            lev.dinv, ro - _mm(lev.lo, x_even) - _mm(lev.uo, x_next)
+        )
+        x = jnp.stack([x_even, x_odd], axis=1).reshape(
+            2 * h, b, x.shape[-1]
+        )
+    out = x.reshape(-1, x.shape[-1])[:n, :m]
+    return out
+
+
 def banded_direct_solve(
     op,  # BandedAffineOperator
     c: jax.Array,  # [3] coefficients at this parameter point
@@ -185,6 +301,7 @@ def banded_direct_solve(
     config: MorfemConfig = DEFAULT_CONFIG,
     block: int | None = None,
     refine_iterations: int = 30,
+    factorization: str = "scan",
 ) -> Tuple[jax.Array, jax.Array]:
     """Direct banded solve of A(c)·x = rhs + adaptive f64 refinement.
 
@@ -192,16 +309,34 @@ def banded_direct_solve(
     systems: works on INDEFINITE in-band Helmholtz operators where the
     Jacobi-Krylov path stagnates. Returns (x, relres [M], iterations) —
     `iterations` counts the f64 refinement steps actually taken.
+
+    ``factorization``: "scan" (sequential block-Thomas, the default) or
+    "cr" (cyclic reduction, log-depth batched levels). Measured at
+    N=34k/nb=267 on a v5e: IDENTICAL 54 ms/solve under jit (the solve is
+    bound by the f64 refinement matvecs, not the factorization), while
+    eager calls favor scan (fewer dispatches). CR's log-depth structure
+    is kept for the very-large-nb regime and inverts RAW odd diagonal
+    blocks (slightly more fragile on indefinite systems — the
+    refinement + shifted-GMRES escalation covers breakdowns either way).
     """
     band_t = (
         c[0] * op.bands_w[0] + c[1] * op.bands_w[1] + c[2] * op.bands_w[2]
     )
     b = block or max(128, _round_up(op.half, 128))
     l, d, u = band_to_blocks(band_t, op.half, b)
-    factors = block_tridiag_factor(l, d, u, op.n)
+    if factorization == "cr":
+        factors = cyclic_reduction_factor(l, d, u, op.n)
+
+        def apply_factor(r):
+            return cyclic_reduction_apply(factors, r)
+    else:
+        factors = block_tridiag_factor(l, d, u, op.n)
+
+        def apply_factor(r):
+            return block_tridiag_apply(factors, r)
     mv = op.bind_precise(c)  # f64 banded matvec for residuals
 
-    x = block_tridiag_apply(factors, rhs).astype(rhs.dtype)
+    x = apply_factor(rhs).astype(rhs.dtype)
     b_norm = jnp.linalg.norm(rhs, axis=0)
     tol = 10 * jnp.finfo(rhs.dtype).eps * jnp.linalg.norm(rhs)
 
@@ -215,7 +350,7 @@ def banded_direct_solve(
     def body_fn(state):
         x, r_norm, _, it = state
         r = rhs - mv(x)
-        x = x + block_tridiag_apply(factors, r).astype(rhs.dtype)
+        x = x + apply_factor(r).astype(rhs.dtype)
         return (x, jnp.linalg.norm(rhs - mv(x)), r_norm, it + 1)
 
     r0 = jnp.linalg.norm(rhs - mv(x))

@@ -249,3 +249,33 @@ def test_rcm_rejects_unstructured():
     zero = sp.csr_matrix((n, n))
     with pytest.raises(ValueError):
         banded_via_rcm(a, zero, zero, max_half=32)
+
+
+def test_cyclic_reduction_matches_scan():
+    """CR factorization (log-depth batched levels) must match the
+    sequential block-Thomas scan on an indefinite system."""
+    from morfem_tpu.ops.block_tridiag import (
+        cyclic_reduction_apply,
+        cyclic_reduction_factor,
+    )
+
+    c, t = _helmholtz_pencil(n=900, half=4, seed=6)
+    n = c.shape[0]
+    evals = np.linalg.eigvalsh(np.linalg.solve(t, c))
+    k2 = float((evals[n // 3] + evals[n // 3 + 1]) / 2)
+    a = c - k2 * t
+    band, h = to_banded((a + a.T) / 2)
+    l, d, u = band_to_blocks(jnp.asarray(band), h, 64)
+    crf = cyclic_reduction_factor(l, d, u, n)
+    rhs = np.random.default_rng(13).normal(size=(n, 2))
+    x = np.asarray(cyclic_reduction_apply(crf, jnp.asarray(rhs)))
+    ref = np.linalg.solve((a + a.T) / 2, rhs)
+    # f32 factor quality — refinement recovers the rest (see
+    # banded_direct_solve(factorization="cr") path)
+    assert np.linalg.norm(x - ref) / np.linalg.norm(ref) < 1e-3
+    op = BandedAffineOperator(c, np.zeros_like(c), t, symmetrize=True)
+    xr, relres, _ = banded_direct_solve(
+        op, jnp.asarray([1.0, 0.0, -k2]), jnp.asarray(rhs),
+        factorization="cr",
+    )
+    assert float(jnp.max(relres)) < 1e-10
