@@ -80,6 +80,13 @@ class MorfemConfig:
         dense grids), falling back to LU otherwise; "lu": always the
         batched-LU path; "spectral": require the spectral path (raises if
         the pencil doesn't qualify).
+      dense_cutoff: `morfem()` keeps SciPy-sparse inputs MATRIX-FREE when
+        N exceeds this (the reference stays sparse throughout via splu,
+        implementation.py:474-476; densifying a 100k-DOF system would need
+        ~80 GB). The sparse route: RCM-banded direct solves when the
+        sparsity is band-recoverable, BCOO + Jacobi-Krylov otherwise
+        (ops/block_tridiag.py, ops/sparse.py). Dense/array inputs always
+        take the dense pipeline.
       dependency_tolerance: greedy stagnation guard. A new snapshot is only
         appended if, after projecting out the current basis, at least one of
         its columns retains more than this fraction of its norm. When the
@@ -107,6 +114,7 @@ class MorfemConfig:
     estimator: str = "direct"
     estimator_chunk: int = 1024
     sweep_method: str = "auto"
+    dense_cutoff: int = 8192
 
     def __post_init__(self):
         if self.factorization not in ("auto", "lu", "gj"):

@@ -95,7 +95,11 @@ def morfem(
     Args:
       domain: [I] ordered parameter grid.
       a0, a1, a2: [N, N] system-matrix addends (numpy, jnp, SciPy sparse or
-        BCOO — densified on device).
+        BCOO). SciPy-sparse inputs with N > config.dense_cutoff stay
+        MATRIX-FREE end to end (RCM-banded direct snapshot solves, or
+        BCOO+Krylov when the sparsity is not band-recoverable) — the
+        reference's always-sparse splu behaviour; smaller systems are
+        densified for the batched MXU pipeline.
       b: [N, M] impulse-vector part.
       t_a0, t_a1, t_a2, t_b: JAX-traceable coefficient callables; defaults
         1, t, t², t.
@@ -107,6 +111,21 @@ def morfem(
       q [N, Nr] basis, a*_r [Nr, Nr], b_r [Nr, M]. Padding is trimmed.
     """
     timer = timer or PhaseTimer(disabled=True)
+    try:
+        import scipy.sparse as sp
+
+        sparse_input = any(sp.issparse(x) for x in (a0, a1, a2))
+        n_in = a0.shape[0]
+    except Exception:
+        sparse_input = False
+        n_in = 0
+    if sparse_input and n_in > config.dense_cutoff:
+        # the reference stays sparse throughout (splu,
+        # implementation.py:474-476); beyond dense_cutoff so do we —
+        # RCM-banded direct solves, or BCOO+Krylov as fallback
+        return _morfem_matfree(
+            domain, a0, a1, a2, b, t_a0, t_a1, t_a2, t_b, config, timer
+        )
     sys = AffineSystem.create(domain, a0, a1, a2, b, t_a0, t_a1, t_a2, t_b)
     rm, _ = build_reduced_model(sys, config, timer)
     rm = rm.trim()
@@ -114,6 +133,85 @@ def morfem(
         x = _run_sweep(rm, config)
         jax.block_until_ready(x)
     return x, rm.q, rm.r0, rm.r1, rm.r2, rm.b_r
+
+
+def _morfem_matfree(
+    domain, a0, a1, a2, b, t_a0, t_a1, t_a2, t_b, config, timer
+):
+    """Matrix-free `morfem()` for large sparse systems (same contract).
+
+    Operator selection: RCM-reordered banded direct solves when the
+    sparsity is band-recoverable (ops/block_tridiag.py — handles
+    indefinite in-band pencils), else BCOO + Jacobi-Krylov
+    (definite/diagonally-dominant systems; achieved residuals are
+    checked and warned about). The returned q is in the CALLER'S row
+    ordering regardless of the internal permutation.
+    """
+    import numpy as np
+    import scipy.sparse as sp
+
+    from morfem_tpu.mor.equally import seed_indices
+    from morfem_tpu.mor.greedy_matfree import greedy_basis_matfree
+    from morfem_tpu.ops.block_tridiag import banded_via_rcm
+    from morfem_tpu.ops.sparse import (
+        SparseAffineOperator,
+        sparse_project,
+        sparse_snapshot_basis,
+    )
+
+    domain = jnp.asarray(domain)
+    b = jnp.asarray(
+        b.toarray() if sp.issparse(b) else np.asarray(b)
+    )
+    if b.ndim == 1:
+        b = b[:, None]
+    n = b.shape[0]
+    mats = [
+        m if sp.issparse(m) else sp.csr_matrix(np.asarray(m))
+        for m in (a0, a1, a2)
+    ]
+    perm = None
+    with timer.phase("operator setup"):
+        try:
+            op, perm = banded_via_rcm(
+                *mats, symmetrize=config.symmetrize
+            )
+            b_op = b[perm]
+        except ValueError:
+            op = SparseAffineOperator(*mats, symmetrize=config.symmetrize)
+            b_op = b
+    coeffs = (t_a0, t_a1, t_a2, t_b)
+    with timer.phase("projection base"):
+        if config.use_equally_distributed:
+            idx = seed_indices(int(domain.shape[0]), config)
+            q_op = sparse_snapshot_basis(
+                *mats, b_op, domain, jnp.asarray(idx), coeffs,
+                config=config, op=op,
+            )
+            if perm is not None:
+                pmats = [m.tocsr()[np.asarray(perm)][:, np.asarray(perm)]
+                         for m in mats]
+            else:
+                pmats = mats
+            (r0, r1, r2), b_r = sparse_project(*pmats, b_op, q_op)
+            rm = ReducedModel(
+                domain=domain, q=q_op, r0=r0, r1=r1, r2=r2, b_r=b_r,
+                ncols=jnp.asarray(q_op.shape[1]),
+                t_a0=t_a0, t_a1=t_a1, t_a2=t_a2, t_b=t_b,
+            )
+        else:
+            _, rm = greedy_basis_matfree(
+                op, b_op, domain, t_a0, t_a1, t_a2, t_b, config=config
+            )
+            q_op = rm.q
+    rm = rm.trim()
+    q_out = rm.q
+    if perm is not None:
+        q_out = jnp.zeros_like(rm.q).at[perm].set(rm.q)
+    with timer.phase("reduced sweep"):
+        x = _run_sweep(rm, config)
+        jax.block_until_ready(x)
+    return x, q_out, rm.r0, rm.r1, rm.r2, rm.b_r
 
 
 def _run_sweep(rm: ReducedModel, config: MorfemConfig):

@@ -189,13 +189,24 @@ def greedy_basis_matfree(
         )
         return x, relres
 
+    # two-tier acceptance: a snapshot is a BASIS vector, so span quality —
+    # not solver precision — is what matters. Residuals past res_limit but
+    # within accept_limit (near-resonance points whose conditioning
+    # exceeds even the shifted escalation's budget) are accepted with a
+    # warning: the estimator keeps measuring TRUE residuals and the
+    # dependency guard protects rank, so a mildly-inaccurate snapshot can
+    # only slow convergence, never silently corrupt the result. Only
+    # genuinely failed solves stop the expansion.
+    accept_limit = 1e-4
+
     def solve_checked(t):
         x, relres = snapshot(t)
         worst = float(jnp.max(relres))
-        if worst > res_limit and hasattr(op, "bands_w"):
+        # NaN (Krylov breakdown) must escalate: NaN > x is False
+        if not (worst <= res_limit) and hasattr(op, "bands_w"):
             x, relres = snapshot_shifted(t)
             worst = float(jnp.max(relres))
-        if worst > res_limit:
+        if not (worst <= accept_limit):
             warnings.warn(
                 f"greedy snapshot solve at t={float(t):.6g} reached only "
                 f"{worst:.1e} relative residual — stopping basis expansion "
@@ -203,6 +214,14 @@ def greedy_basis_matfree(
                 stacklevel=3,
             )
             return x, False
+        if not (worst <= res_limit):
+            warnings.warn(
+                f"greedy snapshot at t={float(t):.6g} accepted at "
+                f"{worst:.1e} relative residual (> {res_limit:.0e}; "
+                "near-resonance conditioning) — basis span is still "
+                "useful; the error estimator tracks true residuals",
+                stacklevel=3,
+            )
         return x, True
 
     # seeds: snapshots at the domain ends (implementation.py:222-226)

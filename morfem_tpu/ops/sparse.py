@@ -190,7 +190,7 @@ def sparse_snapshot_basis(
     coeffs,
     config: MorfemConfig = DEFAULT_CONFIG,
     tol: float = 1e-10,
-    method: str = "bicgstab",
+    method: str = "auto",
     op=None,
 ) -> jax.Array:
     """Equally-distributed snapshot basis with iterative large-N solves.
@@ -225,7 +225,10 @@ def sparse_snapshot_basis(
             op, c, rhs, tol=tol, method=method, return_residual=True
         )
         point_worst = float(jnp.max(relres))
-        if point_worst > max(tol * 100, 1e-8) and hasattr(op, "bands_w"):
+        # NaN residuals (Krylov breakdown on indefinite systems) must
+        # escalate too — note NaN > x is False, so compare negatively
+        failed = not (point_worst <= max(tol * 100, 1e-8))
+        if failed and hasattr(op, "bands_w"):
             # near-resonance escalation: the σ-shifted factorization's
             # condition is bounded by ~1/σ (f32-safe) where the unshifted
             # one's refinement stagnates — see ops/block_tridiag

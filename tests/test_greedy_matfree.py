@@ -130,3 +130,71 @@ class TestGreedyMatfree:
         assert not bool(res.converged)
         assert any("relative residual" in str(x.message) for x in w)
         assert np.isfinite(np.asarray(res.q)).all()
+
+
+class TestMorfemMatfreeRouting:
+    """morfem() keeps SciPy-sparse inputs matrix-free past dense_cutoff
+    (the reference's always-sparse splu behaviour) — same call contract,
+    q returned in the caller's row ordering despite internal RCM."""
+
+    def _system(self, n=1024):
+        import scipy.sparse as sp
+
+        from morfem_tpu.apps.waveguide import GAMMA_SCALE
+        from morfem_tpu.utils.synthetic import banded_waveguide_system
+
+        c, t, wp = banded_waveguide_system(
+            n, m=2, half=5, seed=7, length_m=1.0
+        )
+        gamma = (t * GAMMA_SCALE).tocsr()
+        rng = np.random.default_rng(3)
+        scram = rng.permutation(n)
+        cs = c.tocsr()[scram][:, scram]
+        gs = gamma.tocsr()[scram][:, scram]
+        wps = np.asarray(wp)[scram]
+        zero = sp.csr_matrix((n, n))
+        domain = np.linspace(3e9, 5e9, 24)
+        return domain, cs, zero, gs, wps
+
+    def _check(self, domain, cs, gs, wps, x, q, pts, tol):
+        cd = cs.toarray()
+        gd = gs.toarray()
+        worst = 0.0
+        for i in pts:
+            f = domain[i]
+            a_f = cd + gd * f * f
+            a_f = (a_f + a_f.T) / 2
+            ref = np.linalg.solve(a_f, wps * f)
+            rec = np.asarray(q @ np.asarray(x[i]))
+            worst = max(
+                worst, np.linalg.norm(rec - ref) / np.linalg.norm(ref)
+            )
+        assert worst < tol, worst
+
+    def test_greedy_matfree_route(self):
+        import morfem_tpu as mt
+        from morfem_tpu.config import MorfemConfig
+
+        domain, cs, zero, gs, wps = self._system()
+        cfg = MorfemConfig(
+            error_threshold=1e3, max_greedy_iterations=40, dense_cutoff=512
+        )
+        x, q, r0, r1, r2, b_r = mt.morfem(
+            domain, cs, zero, gs, wps, config=cfg
+        )
+        assert q.shape[0] == 1024 and x.shape[0] == 24
+        assert r0.shape == (q.shape[1], q.shape[1])
+        self._check(domain, cs, gs, wps, x, q, (0, 12, 23), 1e-7)
+
+    def test_equally_matfree_route(self):
+        import morfem_tpu as mt
+        from morfem_tpu.config import MorfemConfig
+
+        domain, cs, zero, gs, wps = self._system()
+        cfg = MorfemConfig(
+            use_equally_distributed=True,
+            equally_distributed_reduction_rate=0.5,
+            dense_cutoff=512,
+        )
+        x, q, *_ = mt.morfem(domain, cs, zero, gs, wps, config=cfg)
+        self._check(domain, cs, gs, wps, x, q, (0, 23), 1e-6)
