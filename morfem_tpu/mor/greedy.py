@@ -125,9 +125,15 @@ def greedy_basis(
     dtype = jnp.result_type(sys.dtype, c_probe.dtype, cb_probe.dtype)
     rdtype = jnp.zeros((), dtype).real.dtype
 
-    x0 = solve_point(sys, sys.domain[0], config)
-    x1 = solve_point(sys, sys.domain[-1], config)
-    seeds = jnp.concatenate([x0, x1], axis=1).astype(dtype)  # [N, 2M]
+    # one vmapped solve for both seeds: each traced solve instance embeds
+    # an LU + adaptive-refinement (Ozaki) subgraph whose XLA optimization
+    # is expensive — two separate instances measurably inflate compile
+    from morfem_tpu.ops.solve import solve_batch
+
+    xs = solve_batch(
+        sys, jnp.stack([sys.domain[0], sys.domain[-1]]), config
+    )  # [2, N, M]
+    seeds = jnp.concatenate([xs[0], xs[1]], axis=1).astype(dtype)  # [N, 2M]
     q = jnp.zeros((n, k), dtype)
     q = lax.dynamic_update_slice(q, seeds, (0, 0))
     q = orthonormalize_svd_masked(q, jnp.asarray(2 * m))
