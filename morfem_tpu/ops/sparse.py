@@ -209,10 +209,12 @@ def sparse_snapshot_basis(
     if op is None:
         op = SparseAffineOperator(a0, a1, a2, symmetrize=config.symmetrize)
     ts = domain[seed_indices]
-    snaps = []
-    worst = 0.0
-    for i in range(ts.shape[0]):
-        t = ts[i]
+
+    # jit ONCE across all seed points (the traced functions close over the
+    # operator): eager per-point dispatch pays per-op device latency —
+    # observed 3.5 s vs 54 ms for a single N=34k banded direct solve
+    @jax.jit
+    def _solve(t):
         c = jnp.stack(
             [
                 jnp.asarray(t_a0(t), dtype=b.dtype),
@@ -224,6 +226,18 @@ def sparse_snapshot_basis(
         x, relres = solve_point_iterative(
             op, c, rhs, tol=tol, method=method, return_residual=True
         )
+        return x, relres, c, rhs
+
+    @jax.jit
+    def _solve_shifted(c, rhs):
+        from morfem_tpu.ops.block_tridiag import shifted_gmres_solve
+
+        return shifted_gmres_solve(op, c, rhs, tol=tol, maxiter=60)
+
+    snaps = []
+    worst = 0.0
+    for i in range(ts.shape[0]):
+        x, relres, c, rhs = _solve(ts[i])
         point_worst = float(jnp.max(relres))
         # NaN residuals (Krylov breakdown on indefinite systems) must
         # escalate too — note NaN > x is False, so compare negatively
@@ -232,9 +246,7 @@ def sparse_snapshot_basis(
             # near-resonance escalation: the σ-shifted factorization's
             # condition is bounded by ~1/σ (f32-safe) where the unshifted
             # one's refinement stagnates — see ops/block_tridiag
-            from morfem_tpu.ops.block_tridiag import shifted_gmres_solve
-
-            x, relres = shifted_gmres_solve(op, c, rhs, tol=tol, maxiter=60)
+            x, relres = _solve_shifted(c, rhs)
             point_worst = float(jnp.max(relres))
         worst = max(worst, point_worst)
         snaps.append(x)
