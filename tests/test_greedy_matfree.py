@@ -198,3 +198,42 @@ class TestMorfemMatfreeRouting:
         )
         x, q, *_ = mt.morfem(domain, cs, zero, gs, wps, config=cfg)
         self._check(domain, cs, gs, wps, x, q, (0, 23), 1e-6)
+
+
+def test_greedy_matfree_singular_point_fails_gracefully():
+    """A domain point sitting exactly ON a resonance makes A(t) singular —
+    no solver can fix that. The greedy must warn and stop with
+    converged=False instead of crashing or silently producing garbage."""
+    import warnings
+
+    import scipy.sparse as sp
+
+    from morfem_tpu.config import MorfemConfig
+    from morfem_tpu.mor.greedy_matfree import greedy_basis_matfree
+    from morfem_tpu.ops.pallas.banded_matvec import BandedAffineOperator
+
+    n = 512
+    # pencil (C, I): resonances at C's eigenvalues; put a domain point
+    # exactly on one
+    rng = np.random.default_rng(0)
+    main = np.full(n, 2.0)
+    off = np.full(n - 1, -1.0)
+    c = sp.diags([off, main, off], [-1, 0, 1]).tocsr()
+    evals = np.linalg.eigvalsh(c.toarray())
+    lam_mid = evals[n // 2]
+    t_sing = np.sqrt(lam_mid)  # with t_a2 = t², a2 = -I: A(t) = C - t²·I
+    op = BandedAffineOperator(
+        c, sp.csr_matrix((n, n)), -sp.eye(n).tocsr(), symmetrize=True
+    )
+    b = jnp.asarray(rng.normal(size=(n, 2)))
+    domain = jnp.asarray(
+        np.concatenate([[0.1], [t_sing], [np.sqrt(evals[-1]) * 2]])
+    )
+    config = MorfemConfig(error_threshold=1e-20, max_greedy_iterations=6)
+    with warnings.catch_warnings(record=True) as ws:
+        warnings.simplefilter("always")
+        result, rm = greedy_basis_matfree(op, b, domain, config=config)
+    # must terminate (no exception), flag non-convergence, and warn
+    assert not bool(result.converged)
+    assert any("residual" in str(w.message) for w in ws)
+    assert np.isfinite(np.asarray(rm.r0)).all()
