@@ -237,8 +237,10 @@ def greedy_basis_matfree(
     healthy = ok0 and ok1
     it = 0
     u = None
+    u_ncols = None  # basis width u was computed for (staleness guard)
     while it <= max_iters:
         err, u = estimate(q, ncols)
+        u_ncols = int(ncols)
         err_host = np.asarray(err)
         err_hist[it] = err_host
         it += 1
@@ -259,6 +261,13 @@ def greedy_basis_matfree(
             # the basis as-is (mirrors mor/greedy.py's stagnation guard)
             break
         q, ncols = q2, ncols2
+
+    if u_ncols != int(ncols):
+        # the loop exited right after an append (iteration budget spent):
+        # u = A_p·Q was computed for the PRE-append basis, so building the
+        # reduced model from it would leave exact-zero columns for the
+        # last snapshot's block — recompute for the final basis
+        _, u = estimate(q, ncols)
 
     result = GreedyResult(
         q=q,

@@ -302,6 +302,7 @@ def banded_direct_solve(
     block: int | None = None,
     refine_iterations: int = 30,
     factorization: str = "scan",
+    tol: float | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Direct banded solve of A(c)·x = rhs + adaptive f64 refinement.
 
@@ -309,6 +310,8 @@ def banded_direct_solve(
     systems: works on INDEFINITE in-band Helmholtz operators where the
     Jacobi-Krylov path stagnates. Returns (x, relres [M], iterations) —
     `iterations` counts the f64 refinement steps actually taken.
+    ``tol`` is a RELATIVE residual target (refinement stops at
+    tol·‖rhs‖); None means refine to working precision.
 
     ``factorization``: "scan" (sequential block-Thomas, the default) or
     "cr" (cyclic reduction, log-depth batched levels). Measured at
@@ -338,28 +341,32 @@ def banded_direct_solve(
 
     x = apply_factor(rhs).astype(rhs.dtype)
     b_norm = jnp.linalg.norm(rhs, axis=0)
-    tol = 10 * jnp.finfo(rhs.dtype).eps * jnp.linalg.norm(rhs)
+    tot_norm = jnp.linalg.norm(rhs)
+    abs_tol = 10 * jnp.finfo(rhs.dtype).eps * tot_norm
+    if tol is not None:
+        abs_tol = jnp.maximum(abs_tol, tol * tot_norm)
 
     def cond_fn(state):
-        _, r_norm, r_prev, it = state
+        _, _, r_norm, r_prev, it = state
         return jnp.logical_and(
-            jnp.logical_and(r_norm > tol, r_norm < 0.97 * r_prev),
+            jnp.logical_and(r_norm > abs_tol, r_norm < 0.97 * r_prev),
             it < refine_iterations,
         )
 
     def body_fn(state):
-        x, r_norm, _, it = state
-        r = rhs - mv(x)
+        # the residual is carried in the state — ONE f64 matvec per
+        # iteration (the solve's dominant cost), not two
+        x, r, r_norm, _, it = state
         x = x + apply_factor(r).astype(rhs.dtype)
-        return (x, jnp.linalg.norm(rhs - mv(x)), r_norm, it + 1)
+        r_new = rhs - mv(x)
+        return (x, r_new, jnp.linalg.norm(r_new), r_norm, it + 1)
 
-    r0 = jnp.linalg.norm(rhs - mv(x))
-    x, _, _, iters = lax.while_loop(
-        cond_fn, body_fn, (x, r0, jnp.asarray(jnp.inf, r0.dtype), 0)
+    r0 = rhs - mv(x)
+    x, r, _, _, iters = lax.while_loop(
+        cond_fn, body_fn,
+        (x, r0, jnp.linalg.norm(r0), jnp.asarray(jnp.inf, b_norm.dtype), 0),
     )
-    relres = jnp.linalg.norm(rhs - mv(x), axis=0) / jnp.maximum(
-        b_norm, 1e-300
-    )
+    relres = jnp.linalg.norm(r, axis=0) / jnp.maximum(b_norm, 1e-300)
     return x, relres, iters
 
 
@@ -404,14 +411,11 @@ def shifted_block_precond(
     zero = jnp.zeros_like(d)
     eye = jnp.broadcast_to(jnp.eye(b, dtype=d.dtype), d.shape)
 
-    def embed(x_re, x_im):  # [[X, −Y], [Y, X]] per block
-        top = jnp.concatenate([x_re, -x_im], axis=-1)
-        bot = jnp.concatenate([x_im, x_re], axis=-1)
-        return jnp.concatenate([top, bot], axis=-2)
+    from morfem_tpu.ops.complex_split import real_embedding
 
-    de = embed(d, -shift * eye)  # D − iσs·I
-    le = embed(l, zero)
-    ue = embed(u, zero)
+    de = real_embedding(d, -shift * eye)  # D − iσs·I, per block
+    le = real_embedding(l, zero)
+    ue = real_embedding(u, zero)
     # Padded/identity rows also get the −iσs shift — harmless (still
     # decoupled from true rows) and keeps the embedding uniform. The
     # embedded system has 2b-sized blocks → nb·2b total rows.

@@ -144,6 +144,10 @@ def gj_inverse_f32(a: jax.Array, panel: int = 256, sub: int = 8) -> jax.Array:
     if a.shape[-2] != n0:
         raise ValueError(f"square matrices required, got {a.shape}")
     panel = max(sub, min(panel, ((n0 + sub - 1) // sub) * sub))
+    # nsub = panel // sub truncates — a panel that is not a multiple of
+    # `sub` would silently skip its last panel % sub columns (garbage
+    # inverse, no error); round up instead
+    panel = ((panel + sub - 1) // sub) * sub
     n = ((n0 + panel - 1) // panel) * panel
     a32 = a.astype(jnp.float32)
     # Row equilibration: the composed coefficients store G−I, whose pivot

@@ -73,7 +73,7 @@ def precise_matmul(a: jax.Array, b: jax.Array) -> jax.Array:
     k = a.shape[-1]
     if (
         real_f64
-        and k >= OZAKI_MIN_K
+        and OZAKI_MIN_K <= k <= (1 << 20)  # ozaki_params needs K·4^β ≤ 2²⁴
         and jax.default_backend() not in ("cpu",)
     ):
         vector_rhs = b.ndim == 1

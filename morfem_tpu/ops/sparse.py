@@ -133,7 +133,10 @@ def solve_point_iterative(
     if method == "direct":
         from morfem_tpu.ops.block_tridiag import banded_direct_solve
 
-        x, relres, _ = banded_direct_solve(op, c, rhs)
+        # tol is forwarded as the refinement's relative-residual target;
+        # maxiter (a Krylov iteration budget) has no direct analogue —
+        # refinement is capped by its own refine_iterations default
+        x, relres, _ = banded_direct_solve(op, c, rhs, tol=tol)
         return (x, relres) if return_residual else x
     diag = op.diagonal(c)
     safe = jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)

@@ -237,3 +237,38 @@ def test_greedy_matfree_singular_point_fails_gracefully():
     assert not bool(result.converged)
     assert any("residual" in str(w.message) for w in ws)
     assert np.isfinite(np.asarray(rm.r0)).all()
+
+
+def test_greedy_matfree_budget_exhausted_reduced_model_not_stale():
+    """When the iteration budget is exhausted right after an append, the
+    returned ReducedModel must be built for the FINAL basis — a stale
+    U = A_p·Q_old would leave exact-zero columns in r0/r2 (singular
+    reduced operators) for the last snapshot's block."""
+    from morfem_tpu.apps.waveguide import GAMMA_SCALE
+    from morfem_tpu.config import MorfemConfig
+    from morfem_tpu.mor.greedy_matfree import greedy_basis_matfree
+    from morfem_tpu.ops.pallas.banded_matvec import BandedAffineOperator
+    from morfem_tpu.utils.synthetic import banded_waveguide_system
+
+    n = 768
+    c, t, wp = banded_waveguide_system(n, m=2, half=4, seed=9, length_m=1.0)
+    gamma = (t * GAMMA_SCALE).tocsr()
+    op = BandedAffineOperator(c, 0.0 * c, gamma, symmetrize=True)
+    b = jnp.asarray(wp)
+    domain = jnp.linspace(3e9, 5e9, 16, dtype=jnp.float64)
+    # unreachable threshold + tiny budget → exits via `while it <= max`
+    # immediately after an append
+    config = MorfemConfig(error_threshold=1e-30, max_greedy_iterations=2)
+    result, rm = greedy_basis_matfree(op, b, domain, config=config)
+    assert not bool(result.converged)
+    nc = int(rm.ncols)
+    assert rm.q.shape[1] == nc  # trimmed
+    # every active column of the reduced operators must be nonzero
+    for name in ("r0", "r2"):
+        col_norms = np.linalg.norm(np.asarray(getattr(rm, name)), axis=0)
+        assert (col_norms > 0).all(), f"{name} has zero columns: {col_norms}"
+    # and the reduced sweep must produce finite solutions
+    from morfem_tpu.mor.reduced import sweep
+
+    x = sweep(rm)
+    assert np.isfinite(np.asarray(x)).all()

@@ -170,7 +170,9 @@ class TestBandedMatvec:
         c = jnp.asarray([1.0, t, t * t])
         rng = np.random.default_rng(3)
         rhs = jnp.asarray(rng.normal(size=(256, 2)))
-        x = solve_point_iterative(op, c, rhs, tol=1e-6)
+        # tol is honoured by every method (the direct path forwards it as
+        # the refinement target) — ask for what the assert checks
+        x = solve_point_iterative(op, c, rhs, tol=1e-10)
         a_dense = (a0 + t * a1 + t * t * a2).toarray()
         rel = np.linalg.norm(a_dense @ np.asarray(x, np.float64)
                              - np.asarray(rhs)) / np.linalg.norm(np.asarray(rhs))
