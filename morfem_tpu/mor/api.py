@@ -152,7 +152,7 @@ def _morfem_matfree(
 
     from morfem_tpu.mor.equally import seed_indices
     from morfem_tpu.mor.greedy_matfree import greedy_basis_matfree
-    from morfem_tpu.ops.block_tridiag import banded_via_rcm
+    from morfem_tpu.ops.block_tridiag import BandwidthError, banded_via_rcm
     from morfem_tpu.ops.sparse import (
         SparseAffineOperator,
         sparse_project,
@@ -177,7 +177,9 @@ def _morfem_matfree(
                 *mats, symmetrize=config.symmetrize
             )
             b_op = b[perm]
-        except ValueError:
+        except BandwidthError:
+            # ONLY the bandwidth rejection demotes to Jacobi-Krylov;
+            # unrelated ValueErrors (malformed inputs) propagate
             op = SparseAffineOperator(*mats, symmetrize=config.symmetrize)
             b_op = b
     coeffs = (t_a0, t_a1, t_a2, t_b)

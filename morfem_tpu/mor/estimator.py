@@ -220,9 +220,11 @@ def estimate_errors_direct(
         # iteration (observed on a v5e: 98/100 points NaN, greedy
         # poison-bailed after the seeds). Normalize R per point first;
         # the final s²·‖·‖ product stays far below the f32 range.
+        # dtype-aware floor: a literal like 1e-300 underflows to 0 in f32,
+        # making an exactly-zero residual produce 0/0 = NaN instead of err=0
         s = jnp.maximum(
             jnp.max(jnp.abs(r), axis=(-1, -2), keepdims=True),
-            jnp.asarray(1e-300, r.real.dtype),
+            jnp.asarray(jnp.finfo(r.real.dtype).tiny, r.real.dtype),
         )
         rn = r / s
         rhr = jnp.einsum("inm,inl->iml", rn.conj(), rn, precision=_HI)

@@ -55,6 +55,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+class BandwidthError(ValueError):
+    """Sparsity is not band-recoverable (RCM bandwidth over the limit).
+
+    A dedicated type so callers can fall back to the Krylov path on
+    exactly this condition without swallowing unrelated ValueErrors
+    (e.g. malformed inputs in operator construction).
+    """
+
+
 def band_to_blocks(
     band: jax.Array,  # [N, 2h+1] diagonal storage (see pallas/banded_matvec)
     half: int,
@@ -303,7 +312,7 @@ def banded_direct_solve(
     refine_iterations: int = 30,
     factorization: str = "scan",
     tol: float | None = None,
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Direct banded solve of A(c)·x = rhs + adaptive f64 refinement.
 
     The TPU-native replacement for the reference's `splu` on large banded
@@ -483,7 +492,7 @@ def banded_via_rcm(
     coo = sum(abs(m) for m in permuted).tocoo()
     half = int(np.max(np.abs(coo.row - coo.col))) if coo.nnz else 0
     if half > max_half:
-        raise ValueError(
+        raise BandwidthError(
             f"RCM-reordered half-bandwidth {half} exceeds {max_half} — "
             "sparsity is not band-recoverable; use the Krylov path"
         )

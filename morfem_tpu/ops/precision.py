@@ -74,7 +74,9 @@ def precise_matmul(a: jax.Array, b: jax.Array) -> jax.Array:
     if (
         real_f64
         and OZAKI_MIN_K <= k <= (1 << 20)  # ozaki_params needs K·4^β ≤ 2²⁴
-        and jax.default_backend() not in ("cpu",)
+        # Ozaki is the workaround for TPU's emulated f64; backends with
+        # native f64 matmul (CPU, GPU) are faster AND more accurate direct
+        and jax.default_backend() == "tpu"
     ):
         vector_rhs = b.ndim == 1
         out = ozaki_matmul(
@@ -134,10 +136,11 @@ def matmul_f32_accurate(a: jax.Array, b: jax.Array, pieces: int = 3) -> jax.Arra
     (`ops/blocked_inverse.py`) where factor quality bounds the refinement
     contraction rate.
 
-    On CPU, native f32 matmul is already exact-f32 — pass through.
+    Off-TPU (CPU, f64-capable GPUs) native f32 matmul at HIGHEST is
+    already exact-f32 (HIGHEST also disables TF32 on GPU) — pass through.
     """
-    if jax.default_backend() == "cpu":
-        return jnp.matmul(a, b)
+    if jax.default_backend() != "tpu":
+        return jnp.matmul(a, b, precision=HIGHEST)
     ah = split_bf16(a, pieces)
     bh = split_bf16(b, pieces)
     # accumulate smallest-weight terms first

@@ -251,7 +251,10 @@ def sparse_snapshot_basis(
             # one's refinement stagnates — see ops/block_tridiag
             x, relres = _solve_shifted(c, rhs)
             point_worst = float(jnp.max(relres))
-        worst = max(worst, point_worst)
+        # NaN-propagating aggregation: max(worst, nan) would KEEP the old
+        # worst (nan > x is False) and the warning below would never fire
+        if not (point_worst <= worst):
+            worst = point_worst
         snaps.append(x)
     if worst > max(tol * 100, 1e-8):
         import warnings
