@@ -27,8 +27,11 @@ class MorfemConfig:
         refinement step becomes one matmul (no XLA TriangularSolve); real
         operators only, and currently slower to FACTOR than XLA's batched
         LU (see ops/solve.py::use_gj_factorization) — pick it when one
-        factorization serves many re-solves. "auto" (default) resolves
-        to "lu".
+        factorization serves many re-solves. "panel" — blocked panel LU
+        with the Pallas panel kernel (ops/panel_lu.py): rank-128 GEMM
+        trailing updates on the MXU, scan-of-matmuls triangular solves;
+        real operators only. "auto" (default) resolves to "panel" for
+        real f32-factored batched sweeps on TPU, else "lu".
       use_equally_distributed: select the equally-distributed basis strategy
         instead of the greedy one (reference: implementation.py:13, :175).
       equally_distributed_reduction_rate: fraction of domain points NOT used
@@ -117,9 +120,9 @@ class MorfemConfig:
     dense_cutoff: int = 8192
 
     def __post_init__(self):
-        if self.factorization not in ("auto", "lu", "gj"):
+        if self.factorization not in ("auto", "lu", "gj", "panel"):
             raise ValueError(
-                f"factorization must be 'auto', 'lu' or 'gj', got "
+                f"factorization must be 'auto', 'lu', 'gj' or 'panel', got "
                 f"{self.factorization!r}"
             )
         if self.sweep_method not in ("auto", "lu", "spectral"):

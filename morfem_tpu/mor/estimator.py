@@ -67,16 +67,21 @@ class EstimatorBlocks(NamedTuple):
 
 
 def operator_images(
-    sys: AffineSystem, q: jax.Array, ncols: jax.Array
+    sys: AffineSystem, q: jax.Array, ncols: jax.Array, shared=None
 ) -> jax.Array:
     """U_p = A_p·Q for the masked padded basis — [3, N, K].
 
     The shared intermediate of both estimators and the projection: three
     [N,N]×[N,K] MXU matmuls. Inactive basis columns are exactly zero, so
     the corresponding U columns vanish and no further masking is needed.
+
+    ``shared`` (optional `SharedAffineApply` over the RAW operators):
+    reuse hoisted operand splits inside compiled loops (mor/greedy.py).
     """
     mask = column_mask(q.shape[1], ncols, q.dtype)
     qm = q * mask
+    if shared is not None:
+        return jnp.stack([shared.apply_op(p, qm) for p in range(3)])
     return jnp.stack([precise_matmul(a, qm) for a in sys.operators()])
 
 

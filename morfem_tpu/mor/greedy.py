@@ -40,7 +40,7 @@ from morfem_tpu.ops.orthonormalize import (
     orthonormalize_append_cgs2,
     orthonormalize_svd_masked,
 )
-from morfem_tpu.ops.precision import precise_matmul
+from morfem_tpu.ops.precision import precise_matmul, precise_matmul_many
 from morfem_tpu.ops.solve import solve_point
 from morfem_tpu.system import AffineSystem
 
@@ -86,13 +86,15 @@ def _reduced_from_u(
     """
     mask = column_mask(q.shape[1], ncols, q.dtype)
     qmt = (q * mask).T
+    # one shared Qᵀ split serves all four projections (precision.py)
+    r0, r1, r2, b_r = precise_matmul_many(qmt, (u[0], u[1], u[2], sys.b))
     return ReducedModel(
         domain=sys.domain,
         q=q,
-        r0=precise_matmul(qmt, u[0]),
-        r1=precise_matmul(qmt, u[1]),
-        r2=precise_matmul(qmt, u[2]),
-        b_r=precise_matmul(qmt, sys.b),
+        r0=r0,
+        r1=r1,
+        r2=r2,
+        b_r=b_r,
         ncols=ncols,
         t_a0=sys.t_a0,
         t_a1=sys.t_a1,
@@ -128,10 +130,28 @@ def greedy_basis(
     # one vmapped solve for both seeds: each traced solve instance embeds
     # an LU + adaptive-refinement (Ozaki) subgraph whose XLA optimization
     # is expensive — two separate instances measurably inflate compile
+    from morfem_tpu.ops.assembly import SharedAffineApply
     from morfem_tpu.ops.solve import solve_batch
 
+    # Hoisted operand splits (r2 verdict item #3 — the greedy cold
+    # compile): the Ozaki split of each loop-INVARIANT operator is built
+    # once here; the loop body then traces only the compact applies.
+    # `shared_raw` feeds the estimator's U_p images (raw-operator
+    # semantics, see mor/estimator.py); `shared_sym` the snapshot-solve
+    # refinement residuals (which see the assembled/symmetrized A(t)).
+    shared_raw = SharedAffineApply(sys.operators(), symmetrize=False)
+    shared_sym = (
+        SharedAffineApply(sys.operators(), symmetrize=True)
+        if config.symmetrize
+        else shared_raw
+    )
+    if shared_raw.preps is None:
+        shared_raw = shared_sym = None  # off the ozaki path: smaller to
+        # let the solvers use their local accurate matmuls
+
     xs = solve_batch(
-        sys, jnp.stack([sys.domain[0], sys.domain[-1]]), config
+        sys, jnp.stack([sys.domain[0], sys.domain[-1]]), config,
+        shared=shared_sym,
     )  # [2, N, M]
     seeds = jnp.concatenate([xs[0], xs[1]], axis=1).astype(dtype)  # [N, 2M]
     q = jnp.zeros((n, k), dtype)
@@ -156,7 +176,7 @@ def greedy_basis(
             rm = _reduced_from_u(sys, s.q, s.ncols, u)
             err, _ = estimate_errors(rm, blocks, config)
         else:
-            u = operator_images(sys, s.q, s.ncols)
+            u = operator_images(sys, s.q, s.ncols, shared=shared_raw)
             rm = _reduced_from_u(sys, s.q, s.ncols, u)
             err, _ = estimate_errors_direct(rm, u, sys.b, config)
         # Under vmap (multi_geometry_greedy) the while_loop runs until the
@@ -181,7 +201,9 @@ def greedy_basis(
         def solve_new(args):
             q, _ = args
             t_star = sys.domain[jnp.argmax(err)]
-            x_new = solve_point(sys, t_star, config).astype(q.dtype)
+            x_new = solve_point(
+                sys, t_star, config, shared=shared_sym
+            ).astype(q.dtype)
             # Stagnation guard (see MorfemConfig.dependency_tolerance):
             # does any new column retain norm after projecting out span(Q)?
             mask = column_mask(k, s.ncols, q.dtype)

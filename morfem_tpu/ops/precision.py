@@ -329,6 +329,30 @@ def ozaki_apply(prep, b: jax.Array) -> jax.Array:
     return out[..., :n] if pad else out
 
 
+def precise_matmul_many(a: jax.Array, bs) -> tuple:
+    """``(a @ b for b in bs)`` with ONE LHS split shared across products.
+
+    Trace-size/runtime optimization for compiled loops (the greedy body
+    projects four operands against the same Qᵀ every iteration): on the
+    TPU real-f64 ozaki path the LHS is prepared once; elsewhere this is
+    just a loop of `precise_matmul`.
+    """
+    wide = all(
+        jnp.result_type(a.dtype, b.dtype)
+        in (jnp.dtype(jnp.float64),)
+        for b in bs
+    )
+    k = a.shape[-1]
+    if (
+        wide
+        and OZAKI_MIN_K <= k <= (1 << 20)
+        and jax.default_backend() == "tpu"
+    ):
+        prep = ozaki_prepare(a.astype(jnp.float64))
+        return tuple(ozaki_apply(prep, b.astype(jnp.float64)) for b in bs)
+    return tuple(precise_matmul(a, b) for b in bs)
+
+
 def precise_gram(a: jax.Array, b: jax.Array) -> jax.Array:
     """aᵀ·b contracting the LEADING axis accurately: [n, k]ᵀ·[n, l] → [k, l].
 

@@ -62,6 +62,7 @@ def lu_solve_refined(
     *,
     factor_dtype=jnp.float32,
     refine_iterations: int = 2,
+    residual_mm=None,
 ) -> jax.Array:
     """Solve ``a @ x = b`` by LU in `factor_dtype` + refinement in a.dtype.
 
@@ -71,6 +72,10 @@ def lu_solve_refined(
       factor_dtype: dtype for the LU factorization (the O(N³) part).
       refine_iterations: refinement steps; skipped automatically when the
         working dtype is not wider than the factorization dtype.
+      residual_mm: optional accurate matmul ``x ↦ A·x`` for the
+        refinement residuals (e.g. hoisted-split shared applies,
+        ops/assembly.py::SharedAffineApply); defaults to an internal
+        Ozaki/chunked product of ``a``.
 
     Returns:
       x: [N, M] solution in the working precision of ``a``/``b``.
@@ -112,11 +117,15 @@ def lu_solve_refined(
         or split_complex
     )
     if needs_refine:
-        x = _refine_adaptive(a, b, x, apply_factor, refine_iterations)
+        x = _refine_adaptive(
+            a, b, x, apply_factor, refine_iterations, residual_mm=residual_mm
+        )
     return x
 
 
-def _refine_adaptive(a, b, x0, apply_factor, refine_iterations: int):
+def _refine_adaptive(
+    a, b, x0, apply_factor, refine_iterations: int, residual_mm=None
+):
     """Adaptive iterative refinement around any approximate solver.
 
     Converges to working precision; the greedy deliberately samples
@@ -138,10 +147,12 @@ def _refine_adaptive(a, b, x0, apply_factor, refine_iterations: int):
     # on its own (measured).
     from morfem_tpu.ops import precision as _prec
 
-    if (
+    if residual_mm is not None:
+        pass  # caller supplied an accurate A·x (hoisted-split applies)
+    elif (
         work_dtype == jnp.dtype(jnp.float64)
         and a_w.shape[-1] >= _prec.OZAKI_MIN_K
-        and jax.default_backend() not in ("cpu",)
+        and jax.default_backend() == "tpu"
     ):
         from morfem_tpu.ops.precision import ozaki_apply, ozaki_prepare
 
@@ -150,8 +161,8 @@ def _refine_adaptive(a, b, x0, apply_factor, refine_iterations: int):
         def residual_mm(x):
             return ozaki_apply(prep, x)
     else:
-        def residual_mm(x):
-            return precise_matmul(a_w, x)
+        def residual_mm(x, _a=a_w):
+            return precise_matmul(_a, x)
 
     def cond_fn(state):
         _, _, r_norm, r_prev, it = state
@@ -285,10 +296,35 @@ def use_gj_factorization(a_dtype, n: int, config: MorfemConfig) -> bool:
     return False
 
 
+def use_panel_factorization(a_dtype, config: MorfemConfig) -> bool:
+    """Whether the batched sweep should take the blocked panel-LU path.
+
+    "panel" forces it (real operators only); "auto" resolves to panel on
+    TPU for real systems with an f32 factor dtype (the blocked-LU GEMM
+    path beats XLA's LuDecomposition there — see BENCH extras for the
+    measured factor rates). Complex pencils and CPU stay on the LU path.
+    """
+    complex_ops = jnp.issubdtype(a_dtype, jnp.complexfloating)
+    if config.factorization == "panel":
+        if complex_ops:
+            raise ValueError(
+                "factorization='panel' supports real operators only"
+            )
+        return True
+    if config.factorization == "auto":
+        return (
+            not complex_ops
+            and config.factor_dtype_name == "float32"
+            and jax.default_backend() == "tpu"
+        )
+    return False
+
+
 def solve_dense(
     a: jax.Array,
     b: jax.Array,
     config: MorfemConfig = DEFAULT_CONFIG,
+    residual_mm=None,
 ) -> jax.Array:
     """Direct dense solve honoring `config.factorization` (see config.py)."""
     if use_gj_factorization(a.dtype, a.shape[-1], config):
@@ -300,6 +336,7 @@ def solve_dense(
         b,
         factor_dtype=factor_dtype_like(a.dtype, config.factor_dtype_name),
         refine_iterations=config.refine_iterations,
+        residual_mm=residual_mm,
     )
 
 
@@ -307,28 +344,42 @@ def solve_point(
     sys: AffineSystem,
     t: jax.Array,
     config: MorfemConfig = DEFAULT_CONFIG,
+    shared=None,
 ) -> jax.Array:
     """Solve the full-order system at one parameter point.
 
     Counterpart of the reference's ``solve_fem_point``
     (implementation.py:468-480): assemble A(t), b(t), solve directly.
     Returns x with shape [N, M].
+
+    ``shared`` (optional): a `SharedAffineApply` built from the SAME
+    operators/symmetrization — refinement residuals then reuse its
+    hoisted operand splits instead of re-splitting A(t) (keeps the
+    greedy while_loop's trace and runtime lean).
     """
     a, b = assemble_at(sys, t, symmetrize=config.symmetrize)
-    return solve_dense(a, b, config)
+    residual_mm = None
+    if shared is not None:
+        c, _ = sys.coefficients(t)
+
+        def residual_mm(x):
+            return shared.apply(c, x)
+
+    return solve_dense(a, b, config, residual_mm=residual_mm)
 
 
 def solve_batch(
     sys: AffineSystem,
     ts: jax.Array,
     config: MorfemConfig = DEFAULT_CONFIG,
+    shared=None,
 ) -> jax.Array:
     """Solve the full-order system at a batch of points — vmapped LU.
 
     All points factorize concurrently on device. Memory: ``len(ts)`` N×N
     factor-dtype matrices live at once; use `solve_sweep` for long grids.
     """
-    return jax.vmap(lambda t: solve_point(sys, t, config))(ts)
+    return jax.vmap(lambda t: solve_point(sys, t, config, shared=shared))(ts)
 
 
 def solve_sweep(
@@ -346,6 +397,10 @@ def solve_sweep(
     Returns:
       x: [I, N, M] solutions for every domain point.
     """
+    if use_panel_factorization(sys.b.dtype, config):
+        from morfem_tpu.ops.panel_lu import solve_sweep_panel
+
+        return solve_sweep_panel(sys, config)
     i = sys.num_points
     chunk = max(1, min(config.solve_chunk, i))
     pad = (-i) % chunk

@@ -1,0 +1,127 @@
+"""Blocked panel-LU factorization (ops/panel_lu.py + the Pallas kernel).
+
+Run in interpret mode on CPU (the Mosaic path is exercised on-chip by
+bench.py and tools/onchip_smoke.py). Oracles: NumPy LU solves.
+Reference role: implementation.py:468-480 (splu / lu_factor).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from morfem_tpu.config import MorfemConfig
+from morfem_tpu.ops.panel_lu import (
+    panel_lu_apply,
+    panel_lu_factor,
+    solve_batch_panel,
+    solve_sweep_panel,
+)
+
+
+@pytest.mark.parametrize("n", [64, 128, 200, 384])
+def test_factor_apply_f32_quality(rng, n):
+    g = 2
+    a = rng.standard_normal((g, n, n))
+    b = rng.standard_normal((g, n, 3))
+    f = panel_lu_factor(jnp.asarray(a), interpret=True)
+    x = np.asarray(panel_lu_apply(f, jnp.asarray(b)), np.float64)
+    relres = np.linalg.norm(a @ x - b) / np.linalg.norm(b)
+    # f32 factorization quality (cond·ε_f32 class)
+    assert relres < 1e-3
+
+
+def test_refined_solve_reaches_working_precision(rng):
+    n, g = 300, 3
+    a = rng.standard_normal((g, n, n))
+    a[0] = (a[0] + a[0].T) / 2  # symmetric indefinite lane
+    b = rng.standard_normal((g, n, 2))
+    x = solve_batch_panel(
+        jnp.asarray(a), jnp.asarray(b),
+        MorfemConfig(refine_iterations=8), interpret=True,
+    )
+    relres = np.linalg.norm(a @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert relres < 1e-12
+
+
+def test_matches_numpy_solve(rng):
+    n = 160
+    a = rng.standard_normal((1, n, n)) + 4.0 * np.eye(n)
+    b = rng.standard_normal((1, n, 2))
+    x = solve_batch_panel(
+        jnp.asarray(a), jnp.asarray(b),
+        MorfemConfig(refine_iterations=8), interpret=True,
+    )
+    x_np = np.linalg.solve(a, b)
+    assert np.linalg.norm(np.asarray(x) - x_np) / np.linalg.norm(x_np) < 1e-11
+
+
+def test_pivoting_handles_zero_leading_entry(rng):
+    # a00 = 0 forces a pivot exchange at the very first column
+    n = 96
+    a = rng.standard_normal((1, n, n))
+    a[0, 0, 0] = 0.0
+    b = rng.standard_normal((1, n, 1))
+    x = solve_batch_panel(
+        jnp.asarray(a), jnp.asarray(b),
+        MorfemConfig(refine_iterations=8), interpret=True,
+    )
+    relres = np.linalg.norm(a @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert relres < 1e-12
+
+
+def test_row_scale_robustness(rng):
+    # badly row-scaled system: equilibration must keep pivots O(1)
+    n = 128
+    a = rng.standard_normal((1, n, n))
+    scales = 10.0 ** rng.uniform(-6, 6, size=n)
+    a = a * scales[None, :, None]
+    b = rng.standard_normal((1, n, 2)) * scales[None, :, None]
+    x = solve_batch_panel(
+        jnp.asarray(a), jnp.asarray(b),
+        MorfemConfig(refine_iterations=10), interpret=True,
+    )
+    relres = np.linalg.norm(
+        (a @ np.asarray(x) - b) / scales[None, :, None]
+    ) / np.linalg.norm(b / scales[None, :, None])
+    assert relres < 1e-11
+
+
+def test_sweep_panel_matches_lu_sweep(rng):
+    from morfem_tpu.ops.solve import solve_sweep
+    from morfem_tpu.system import AffineSystem
+    from morfem_tpu.utils.synthetic import random_affine_system
+
+    domain, a0, a1, a2, b = random_affine_system(
+        jax.random.PRNGKey(5), n=200, m=2, num_points=13
+    )
+    sys_ = AffineSystem.create(domain, a0, a1, a2, b)
+    cfg_lu = MorfemConfig(factorization="lu", solve_chunk=4)
+    cfg_panel = MorfemConfig(factorization="panel", solve_chunk=4)
+    x_lu = solve_sweep(sys_, cfg_lu)
+    x_panel = solve_sweep(sys_, cfg_panel)
+    rel = float(jnp.linalg.norm(x_panel - x_lu) / jnp.linalg.norm(x_lu))
+    assert rel < 1e-10
+    assert x_panel.shape == x_lu.shape
+
+
+def test_sweep_panel_nondivisible_chunk(rng):
+    from morfem_tpu.system import AffineSystem
+    from morfem_tpu.utils.synthetic import random_affine_system
+
+    domain, a0, a1, a2, b = random_affine_system(
+        jax.random.PRNGKey(6), n=96, m=2, num_points=7
+    )
+    sys_ = AffineSystem.create(domain, a0, a1, a2, b)
+    x = solve_sweep_panel(sys_, MorfemConfig(solve_chunk=4))
+    assert x.shape == (7, 96, 2)
+    assert bool(jnp.isfinite(x).all())
+
+
+def test_panel_rejects_complex():
+    from morfem_tpu.ops.solve import use_panel_factorization
+
+    with pytest.raises(ValueError, match="real operators"):
+        use_panel_factorization(
+            jnp.complex128, MorfemConfig(factorization="panel")
+        )
