@@ -93,10 +93,17 @@ def sharded_sweep(
 
     Each device assembles and LU-solves its slice of frequency points —
     zero communication (the reduced operators are replicated; they are
-    K×K-small). The domain length must divide by the axis size.
+    K×K-small). Grids that do not divide the axis size are padded with
+    the last point and trimmed afterwards (like `ops/solve.py`'s
+    unsharded sweep).
     """
     if ts is None:
         ts = rm.domain
+    sp = mesh.shape[axis]
+    i_pts = ts.shape[0]
+    pad = (-i_pts) % sp
+    if pad:
+        ts = jnp.concatenate([ts, jnp.broadcast_to(ts[-1:], (pad,))])
     ts = jax.lax.with_sharding_constraint(ts, NamedSharding(mesh, P(axis)))
 
     @jax.jit
@@ -107,7 +114,7 @@ def sharded_sweep(
         )
         return solve_reduced_batch(a, rhs, config)
 
-    return run(rm, ts)
+    return run(rm, ts)[:i_pts]
 
 
 def sharded_spectral_sweep(
@@ -121,10 +128,16 @@ def sharded_spectral_sweep(
     Works for both `SpectralModel` and `QuadraticSpectralModel`
     (mor/spectral.py) — each point is an independent O(K·M) evaluation
     against replicated eigen-data, so the sweep is embarrassingly
-    parallel over the ``sp`` axis, like `sharded_sweep`.
+    parallel over the ``sp`` axis, like `sharded_sweep`. Non-divisible
+    grids are padded with the last point and trimmed afterwards.
     """
     if ts is None:
         ts = sm.rm.domain
+    sp = mesh.shape[axis]
+    i_pts = ts.shape[0]
+    pad = (-i_pts) % sp
+    if pad:
+        ts = jnp.concatenate([ts, jnp.broadcast_to(ts[-1:], (pad,))])
     ts = jax.lax.with_sharding_constraint(ts, NamedSharding(mesh, P(axis)))
 
     @jax.jit
@@ -134,7 +147,7 @@ def sharded_spectral_sweep(
             x, NamedSharding(mesh, P(axis, None, None))
         )
 
-    return run(sm, ts)
+    return run(sm, ts)[:i_pts]
 
 
 # ---------------------------------------------------------------------------

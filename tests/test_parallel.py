@@ -73,6 +73,45 @@ def test_sharded_sweep_matches_local(eight_devices):
     )
 
 
+def test_sharded_sweep_nondivisible_grid(eight_devices):
+    # 100 points on an sp=8 mesh: padded internally, trimmed on return
+    mesh = make_mesh(dp=1, sp=8, tp=1)
+    key = jax.random.PRNGKey(7)
+    domain, a0, a1, a2, b = random_affine_system(key, n=48, m=2, num_points=100)
+    sys = AffineSystem.create(domain, a0, a1, a2, b)
+    from morfem_tpu import equally_distributed_basis
+
+    q = equally_distributed_basis(sys, CFG, count=4)
+    rm = project(sys, q)
+    x_local = sweep(rm, CFG)
+    x_sharded = sharded_sweep(rm, mesh, CFG)
+    assert x_sharded.shape == x_local.shape
+    np.testing.assert_allclose(
+        np.asarray(x_sharded), np.asarray(x_local), rtol=1e-10, atol=1e-14
+    )
+
+
+def test_sharded_spectral_sweep_nondivisible_grid(eight_devices):
+    from morfem_tpu.mor.spectral import prepare_spectral_quadratic
+    from morfem_tpu.parallel.sharded import sharded_spectral_sweep
+
+    mesh = make_mesh(dp=1, sp=8, tp=1)
+    key = jax.random.PRNGKey(8)
+    domain, a0, a1, a2, b = random_affine_system(key, n=48, m=2, num_points=51)
+    sys = AffineSystem.create(domain, a0, a1, a2, b)
+    from morfem_tpu import equally_distributed_basis
+
+    q = equally_distributed_basis(sys, CFG, count=4)
+    rm = project(sys, q)
+    sq = prepare_spectral_quadratic(rm, CFG)
+    x_local = sq.sweep(rm.domain)
+    x_sharded = sharded_spectral_sweep(sq, mesh)
+    assert x_sharded.shape == x_local.shape
+    np.testing.assert_allclose(
+        np.asarray(x_sharded), np.asarray(x_local), rtol=1e-9, atol=1e-12
+    )
+
+
 def test_multi_geometry_matches_loop(eight_devices):
     mesh = make_mesh(dp=2, sp=2, tp=2)
     keys = jax.random.split(jax.random.PRNGKey(3), 4)
