@@ -87,9 +87,15 @@ class MorfemConfig:
         N exceeds this (the reference stays sparse throughout via splu,
         implementation.py:474-476; densifying a 100k-DOF system would need
         ~80 GB). The sparse route: RCM-banded direct solves when the
-        sparsity is band-recoverable, BCOO + Jacobi-Krylov otherwise
+        sparsity is band-recoverable, exact-operator GMRES with a
+        truncated-band shifted-direct preconditioner otherwise
         (ops/block_tridiag.py, ops/sparse.py). Dense/array inputs always
         take the dense pipeline.
+      band_max_half: largest RCM-reordered half-bandwidth the matrix-free
+        route factorizes DIRECTLY (block-tridiagonal elimination costs
+        O(N·half²) with O(N·half) factor memory). Beyond it the pencil is
+        truncated to this band for the PRECONDITIONER only and solved
+        with exact-operator GMRES (`GeneralSparseOperator`).
       dependency_tolerance: greedy stagnation guard. A new snapshot is only
         appended if, after projecting out the current basis, at least one of
         its columns retains more than this fraction of its norm. When the
@@ -118,6 +124,7 @@ class MorfemConfig:
     estimator_chunk: int = 1024
     sweep_method: str = "auto"
     dense_cutoff: int = 8192
+    band_max_half: int = 2048
 
     def __post_init__(self):
         if self.factorization not in ("auto", "lu", "gj", "panel"):

@@ -152,9 +152,13 @@ def _morfem_matfree(
 
     from morfem_tpu.mor.equally import seed_indices
     from morfem_tpu.mor.greedy_matfree import greedy_basis_matfree
-    from morfem_tpu.ops.block_tridiag import BandwidthError, banded_via_rcm
+    from morfem_tpu.ops.block_tridiag import (
+        BandwidthError,
+        banded_via_rcm,
+        truncated_band_via_rcm,
+    )
     from morfem_tpu.ops.sparse import (
-        SparseAffineOperator,
+        GeneralSparseOperator,
         sparse_project,
         sparse_snapshot_basis,
     )
@@ -174,14 +178,22 @@ def _morfem_matfree(
     with timer.phase("operator setup"):
         try:
             op, perm = banded_via_rcm(
-                *mats, symmetrize=config.symmetrize
+                *mats, symmetrize=config.symmetrize,
+                max_half=config.band_max_half,
             )
             b_op = b[perm]
         except BandwidthError:
-            # ONLY the bandwidth rejection demotes to Jacobi-Krylov;
-            # unrelated ValueErrors (malformed inputs) propagate
-            op = SparseAffineOperator(*mats, symmetrize=config.symmetrize)
-            b_op = b
+            # non-band-recoverable sparsity: exact BCOO applies with the
+            # truncated-band shifted-direct preconditioner (robust on
+            # indefinite systems, unlike the old Jacobi-Krylov demotion);
+            # only the bandwidth rejection lands here — unrelated
+            # ValueErrors (malformed inputs) propagate
+            exact_op, band_op, perm, dropped = truncated_band_via_rcm(
+                *mats, symmetrize=config.symmetrize,
+                band_half=config.band_max_half,
+            )
+            op = GeneralSparseOperator(exact_op, band_op, dropped=dropped)
+            b_op = b[perm]
     coeffs = (t_a0, t_a1, t_a2, t_b)
     with timer.phase("projection base"):
         if config.use_equally_distributed:

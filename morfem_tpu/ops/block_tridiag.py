@@ -525,6 +525,113 @@ def rcm_direct_solve(
     return x, relres, iters
 
 
+def truncated_band_via_rcm(
+    a0,
+    a1,
+    a2,
+    symmetrize: bool = True,
+    band_half: int = 1024,
+    tile: int = 512,
+):
+    """RCM + band TRUNCATION for non-band-recoverable sparsity.
+
+    When `banded_via_rcm` rejects a pattern (reordered bandwidth beyond
+    its limit), the matrix still concentrates most of its mass near the
+    diagonal under RCM — mesh graphs put only the long-range couplings
+    outside. This builds, on the SAME permutation:
+
+      * an exact `SparseAffineOperator` (BCOO) for operator applies and
+        residuals — correctness never depends on the truncation;
+      * a `BandedAffineOperator` truncated to ``band_half`` as the
+        in-band approximation, whose shifted block-tridiagonal
+        factorization serves as the GMRES preconditioner
+        (`general_sparse_solve`).
+
+    Returns (exact_op, band_op, perm, dropped): ``dropped`` is the
+    fraction of absolute mass outside the kept band (host float) — the
+    knob to judge preconditioner quality (≲ a few % converges fast).
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    from morfem_tpu.ops.pallas.banded_matvec import BandedAffineOperator
+    from morfem_tpu.ops.sparse import SparseAffineOperator
+
+    mats = [
+        m if sp.issparse(m) else sp.csr_matrix(np.asarray(m))
+        for m in (a0, a1, a2)
+    ]
+    pattern = sum(abs(m).tocsr() for m in mats)
+    pattern = (pattern + pattern.T).tocsr()
+    n = pattern.shape[0]
+
+    def out_of_band_frac(perm):
+        permuted = sum(
+            abs(m).tocsr()[perm][:, perm] for m in mats
+        ).tocoo()
+        total = float(permuted.data.sum()) or 1.0
+        out = float(
+            permuted.data[np.abs(permuted.row - permuted.col) > band_half]
+            .sum()
+        )
+        return out / total
+
+    # RCM helps scrambled mesh-graph sparsity but HURTS expander-like
+    # patterns (it scatters the strong near-diagonal couplings out of
+    # band); keep whichever ordering leaves less mass outside the band
+    perm_rcm = np.asarray(reverse_cuthill_mckee(pattern, symmetric_mode=True))
+    perm_id = np.arange(n)
+    d_rcm = out_of_band_frac(perm_rcm)
+    d_id = out_of_band_frac(perm_id)
+    perm, dropped = (
+        (perm_rcm, d_rcm) if d_rcm <= d_id else (perm_id, d_id)
+    )
+    permuted = [m.tocsr()[perm][:, perm] for m in mats]
+    band_op = BandedAffineOperator(
+        *permuted, symmetrize=symmetrize, tile=tile, bandwidth=band_half
+    )
+    exact_op = SparseAffineOperator(*permuted, symmetrize=symmetrize)
+    return exact_op, band_op, jnp.asarray(perm), dropped
+
+
+def general_sparse_solve(
+    exact_op,
+    band_op,
+    c: jax.Array,
+    rhs: jax.Array,
+    sigma: float = 1e-4,
+    block: int | None = None,
+    tol: float = 1e-10,
+    maxiter: int = 80,
+    restart: int = 32,
+) -> Tuple[jax.Array, jax.Array]:
+    """Direct-ish solve for GENERAL sparsity: exact GMRES, in-band precond.
+
+    The last `splu` parity gap (VERDICT r2 #4): indefinite systems whose
+    RCM bandwidth exceeds the block-tridiagonal limit previously fell
+    back to Jacobi-Krylov, which stagnates on them. Here GMRES runs on
+    the EXACT operator (BCOO applies) preconditioned by the shifted
+    block-direct factorization of the in-band part
+    (`shifted_block_precond` on the truncated `band_op`): the shift
+    regularizes the elimination at resonances exactly as in the fully
+    banded case, and the out-of-band remainder only perturbs the
+    preconditioned spectrum by its (small, under RCM) relative mass.
+
+    Returns (x, relres [M]).
+    """
+    from morfem_tpu.ops.krylov import gmres
+
+    precond, _ = shifted_block_precond(band_op, c, sigma=sigma, block=block)
+
+    def mv(x):
+        return exact_op.matvec(c, x)
+
+    x, relres = gmres(
+        mv, rhs, precond=precond, tol=tol, maxiter=maxiter, restart=restart
+    )
+    return x, relres
+
+
 def shifted_gmres_solve(
     op,
     c: jax.Array,

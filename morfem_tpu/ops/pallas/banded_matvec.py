@@ -186,7 +186,20 @@ class BandedAffineOperator:
     faster than the BCOO matvec at N=100k, half-bandwidth 25, on a v5e.
     """
 
-    def __init__(self, a0, a1, a2, symmetrize: bool = True, tile: int = 512):
+    def __init__(
+        self,
+        a0,
+        a1,
+        a2,
+        symmetrize: bool = True,
+        tile: int = 512,
+        bandwidth: Optional[int] = None,
+    ):
+        """``bandwidth`` (optional): TRUNCATE every addend to this
+        half-bandwidth — entries further from the diagonal are dropped.
+        The result then represents only the in-band part of the pencil;
+        use it as a PRECONDITIONER for the exact operator, never as the
+        operator itself (ops/block_tridiag.py::general_sparse_solve)."""
         import scipy.sparse as sp
 
         def prep(a):
@@ -198,7 +211,7 @@ class BandedAffineOperator:
         halves = []
         bands = []
         for a in mats:
-            band, h = to_banded(a)
+            band, h = to_banded(a, bandwidth=bandwidth)
             bands.append(band)
             halves.append(h)
         self.half = max(halves)

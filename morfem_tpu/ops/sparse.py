@@ -100,6 +100,37 @@ class SparseAffineOperator:
         return c[0] * diags[0] + c[1] * diags[1] + c[2] * diags[2]
 
 
+class GeneralSparseOperator:
+    """Exact BCOO applies + truncated-band shifted-direct preconditioning.
+
+    The operator for sparsity that RCM cannot make banded
+    (`BandwidthError`): applies/residuals go through the exact
+    `SparseAffineOperator`; solves run preconditioned GMRES with the
+    shifted block-direct factorization of the RCM in-band part
+    (ops/block_tridiag.py::general_sparse_solve) — robust on indefinite
+    systems where the plain Jacobi-Krylov fallback stagnates.
+
+    Build with `ops.block_tridiag.truncated_band_via_rcm` (which also
+    returns the row permutation to apply to RHS/solutions).
+    """
+
+    def __init__(self, exact_op, band_op, sigma: float = 1e-4,
+                 dropped: float = 0.0):
+        self.exact = exact_op
+        self.band = band_op
+        self.sigma = sigma
+        self.dropped = dropped
+
+    def matvec(self, c, x):
+        return self.exact.matvec(c, x)
+
+    def apply_addend(self, p, x):
+        return self.exact.apply_addend(p, x)
+
+    def diagonal(self, c):
+        return self.exact.diagonal(c)
+
+
 def solve_point_iterative(
     op: SparseAffineOperator,
     c: jax.Array,  # [3] coefficients at this point
@@ -121,15 +152,33 @@ def solve_point_iterative(
     - ``"bicgstab"`` / ``"gmres"`` — Jacobi-preconditioned block Krylov;
       fine for definite / diagonally dominant systems, and the only
       option for non-banded general sparsity.
+    - ``"general"`` — exact-operator GMRES with the truncated-band
+      shifted-direct preconditioner (`GeneralSparseOperator`); the
+      robust path for indefinite systems with non-band-recoverable
+      sparsity.
     - ``"auto"`` (default) — ``direct`` when the operator carries banded
-      storage (`BandedAffineOperator`), else ``bicgstab``.
+      storage (`BandedAffineOperator`), ``general`` for a
+      `GeneralSparseOperator`, else ``bicgstab``.
 
     With ``return_residual`` also returns the achieved relative residual
     per column — Krylov methods on strongly indefinite systems can
     stagnate, and jax's solvers do not raise.
     """
     if method == "auto":
-        method = "direct" if hasattr(op, "bands_w") else "bicgstab"
+        if hasattr(op, "bands_w"):
+            method = "direct"
+        elif hasattr(op, "band"):
+            method = "general"
+        else:
+            method = "bicgstab"
+    if method == "general":
+        from morfem_tpu.ops.block_tridiag import general_sparse_solve
+
+        x, relres = general_sparse_solve(
+            op.exact, op.band, c, rhs, sigma=op.sigma, tol=tol,
+            maxiter=max(2, maxiter // 32),
+        )
+        return (x, relres) if return_residual else x
     if method == "direct":
         from morfem_tpu.ops.block_tridiag import banded_direct_solve
 
