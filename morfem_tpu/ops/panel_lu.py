@@ -38,7 +38,7 @@ from jax import lax
 
 from morfem_tpu.config import MorfemConfig, DEFAULT_CONFIG
 from morfem_tpu.ops.pallas.panel_factor import panel_factor
-from morfem_tpu.ops.precision import matmul_f32_accurate
+from morfem_tpu.ops.precision import matmul_f32_accurate, split_bf16
 
 _HI = jax.lax.Precision.HIGHEST
 PANEL = 128
@@ -46,6 +46,72 @@ PANEL = 128
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def pivot_rows_mxu(mat: jax.Array, piv: jax.Array, n_rows: int) -> jax.Array:
+    """Extract rows ``mat[piv]`` (batched) as MXU one-hot contractions.
+
+    XLA's row gather on TPU is two orders of magnitude off bandwidth for
+    this shape (measured 1.7 ms per [8, 3456, W] take — per-index
+    dynamic-slice lowering). A one-hot matmul runs at MXU rates, and is
+    EXACT: the one-hot operand is 0/1 (exactly representable in bf16)
+    and the value operand is split into three bf16 words
+    (`split_bf16`), so each output element is a sum of one exact
+    product per word.
+
+    Args: mat [G, N, W] f32, piv [G, P] int32. Returns [G, P, W] f32.
+    """
+    oh = jax.nn.one_hot(piv, n_rows, dtype=jnp.bfloat16)  # [G, P, N]
+    out = None
+    for word in split_bf16(mat, 3):
+        p = jax.lax.dot_general(
+            oh, word,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        out = p if out is None else out + p
+    return out
+
+
+def _unit_lower_inv(l: jax.Array) -> jax.Array:
+    """Inverse of batched unit-lower-triangular blocks via recursion.
+
+    `jnp.linalg.inv` on [G, nb, 128, 128] costs ~30 ms per factor chunk
+    on this chip (LU + TriangularSolve per block). The 2×2 block
+    recursion [[L11,0],[L21,L22]]⁻¹ = [[L11⁻¹,0],[−L22⁻¹L21L11⁻¹,L22⁻¹]]
+    is all batched matmuls down to an 8×8 base case, where the strictly
+    lower part is nilpotent and the Neumann series is EXACT.
+    """
+    s = l.shape[-1]
+    mm = lambda a, b: jnp.einsum(  # noqa: E731
+        "...ij,...jk->...ik", a, b, precision=_HI
+    )
+    if s <= 8:
+        eye = jnp.eye(s, dtype=l.dtype)
+        strict = jnp.tril(l, -1)
+        term = -strict
+        out = jnp.broadcast_to(eye, l.shape) + term
+        for _ in range(s - 2):
+            term = -mm(strict, term)
+            out = out + term
+        return out
+    h = s // 2
+    l11 = _unit_lower_inv(l[..., :h, :h])
+    l22 = _unit_lower_inv(l[..., h:, h:])
+    off = -mm(l22, mm(l[..., h:, :h], l11))
+    top = jnp.concatenate([l11, jnp.zeros_like(l[..., :h, h:])], axis=-1)
+    bot = jnp.concatenate([off, l22], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _upper_inv(u: jax.Array) -> jax.Array:
+    """Inverse of batched upper-triangular blocks (non-unit diagonal)."""
+    d = jnp.diagonal(u, axis1=-2, axis2=-1)
+    un = u / d[..., :, None]  # unit upper
+    un_inv = jnp.swapaxes(
+        _unit_lower_inv(jnp.swapaxes(un, -1, -2)), -1, -2
+    )
+    return un_inv / d[..., None, :]
 
 
 class PanelLUFactors(NamedTuple):
@@ -100,25 +166,28 @@ def panel_lu_factor(a: jax.Array, interpret: bool | None = None) -> PanelLUFacto
         eye_idx = jnp.arange(n, np_)
         a32 = a32.at[:, eye_idx, eye_idx].set(1.0)
 
-    # column blocks kept as a list: the unrolled panel loop then updates
-    # each shrinking trailing block in place (no full-matrix copies)
-    blocks = [a32[:, :, k * PANEL : (k + 1) * PANEL] for k in range(nb)]
+    # single-trail layout: factor the leading panel of the remaining
+    # columns, apply ONE one-hot row extraction + ONE rank-P GEMM to the
+    # (statically shrinking) rest — big MXU ops, no per-block gathers
+    rest = a32
     avail = jnp.ones((g, np_), jnp.float32)
+    done = []
     pivs = []
-    gather_rows = jax.vmap(lambda m, idx: jnp.take(m, idx, axis=0))
     for k in range(nb):
-        panel_t = jnp.swapaxes(blocks[k], 1, 2)  # [G, P, Np]
+        panel_t = jnp.swapaxes(rest[:, :, :PANEL], 1, 2)  # [G, P, Np]
         fac_t, c_t, piv, avail = panel_factor(panel_t, avail,
                                               interpret=interpret)
-        blocks[k] = jnp.swapaxes(fac_t, 1, 2)
-        cmat = jnp.swapaxes(c_t, 1, 2)  # [G, Np, P]
-        for j in range(k + 1, nb):
-            rows = gather_rows(blocks[j], piv)  # [G, P, P]
-            blocks[j] = blocks[j] + matmul_f32_accurate(cmat, rows)
+        done.append(jnp.swapaxes(fac_t, 1, 2))
         pivs.append(piv)
+        if k + 1 < nb:
+            trail = rest[:, :, PANEL:]
+            rows = pivot_rows_mxu(trail, piv, np_)  # [G, P, W]
+            cmat = jnp.swapaxes(c_t, 1, 2)  # [G, Np, P]
+            rest = trail + matmul_f32_accurate(cmat, rows)
 
     perm = jnp.concatenate(pivs, axis=1)  # [G, Np]
-    m_fac = jnp.concatenate(blocks, axis=2)  # [G, Np, Np]
+    m_fac = jnp.concatenate(done, axis=2)  # [G, Np, Np]
+    gather_rows = jax.vmap(lambda m, idx: jnp.take(m, idx, axis=0))
     lug = gather_rows(m_fac, perm)
 
     diag = jnp.stack(
@@ -129,8 +198,8 @@ def panel_lu_factor(a: jax.Array, interpret: bool | None = None) -> PanelLUFacto
     eye = jnp.eye(PANEL, dtype=jnp.float32)
     l_diag = jnp.tril(diag, -1) + eye
     u_diag = jnp.triu(diag)
-    linv = jnp.linalg.inv(l_diag)
-    uinv = jnp.linalg.inv(u_diag)
+    linv = _unit_lower_inv(l_diag)
+    uinv = _upper_inv(u_diag)
     return PanelLUFactors(lug=lug, perm=perm, linv=linv, uinv=uinv,
                           dinv=dinv, n=n)
 
