@@ -248,6 +248,33 @@ def main():
     )
     log(f"gj_inverse N={sys_.n}: {t_gj*1e3:.0f} ms, |MA-I|/sqrt(N) = {gj_res:.1e}")
 
+    # ---- panel-LU factor rate (the dense splu replacement's core) ----
+    from morfem_tpu.ops.panel_lu import panel_lu_factor
+
+    g_fac = 4
+    a_batch = jnp.stack(
+        [
+            assemble_at(sys_, sys_.domain[j], symmetrize=True)[0].astype(
+                jnp.float32
+            )
+            for j in np.linspace(0, N_POINTS - 1, g_fac, dtype=int)
+        ]
+    )
+    fac_fn = jax.jit(panel_lu_factor)
+    float(jnp.sum(fac_fn(a_batch).lug))  # compile + warm
+    fac_times = []
+    for rep in range(3):
+        a_rep = a_batch * (1.0 + 1e-7 * (rep + 1))  # defeat result caching
+        t0 = time.perf_counter()
+        float(jnp.sum(fac_fn(a_rep).lug))
+        fac_times.append(time.perf_counter() - t0)
+    t_fac = min(fac_times) / g_fac
+    fac_tflops = (2 / 3) * sys_.n**3 / t_fac / 1e12
+    log(
+        f"panel LU factor N={sys_.n}: {t_fac*1e3:.1f} ms/matrix "
+        f"({fac_tflops:.2f} TFLOP/s effective)"
+    )
+
     result = {
         "metric": "reduced_sweep_speedup_vs_full_order",
         "value": round(speedup, 2),
@@ -276,6 +303,8 @@ def main():
             "full_spectral_vs_lu_rel": fs_rel,
             "gj_inverse_ms": round(t_gj * 1e3, 1),
             "gj_identity_residual": gj_res,
+            "panel_factor_ms_per_matrix": round(t_fac * 1e3, 2),
+            "panel_factor_tflops": round(fac_tflops, 2),
             "device": str(jax.devices()[0]),
         },
     }

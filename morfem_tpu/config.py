@@ -125,8 +125,14 @@ class MorfemConfig:
     sweep_method: str = "auto"
     dense_cutoff: int = 8192
     band_max_half: int = 2048
+    panel_trail: str = "accurate"
 
     def __post_init__(self):
+        if self.panel_trail not in ("accurate", "fast"):
+            raise ValueError(
+                f"panel_trail must be 'accurate' or 'fast', got "
+                f"{self.panel_trail!r}"
+            )
         if self.factorization not in ("auto", "lu", "gj", "panel"):
             raise ValueError(
                 f"factorization must be 'auto', 'lu', 'gj' or 'panel', got "

@@ -48,7 +48,9 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pivot_rows_mxu(mat: jax.Array, piv: jax.Array, n_rows: int) -> jax.Array:
+def pivot_rows_mxu(
+    mat: jax.Array, piv: jax.Array, n_rows: int, words: int = 3
+) -> jax.Array:
     """Extract rows ``mat[piv]`` (batched) as MXU one-hot contractions.
 
     XLA's row gather on TPU is two orders of magnitude off bandwidth for
@@ -63,7 +65,7 @@ def pivot_rows_mxu(mat: jax.Array, piv: jax.Array, n_rows: int) -> jax.Array:
     """
     oh = jax.nn.one_hot(piv, n_rows, dtype=jnp.bfloat16)  # [G, P, N]
     out = None
-    for word in split_bf16(mat, 3):
+    for word in split_bf16(mat, words):
         p = jax.lax.dot_general(
             oh, word,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -138,13 +140,29 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def panel_lu_factor(a: jax.Array, interpret: bool | None = None) -> PanelLUFactors:
+def panel_lu_factor(
+    a: jax.Array,
+    interpret: bool | None = None,
+    trail: str = "f32x6",
+) -> PanelLUFactors:
     """Factor a batch of real square systems: [G, N, N] → PanelLUFactors.
 
     f32 compute throughout (callers refine in the working dtype, exactly
     like `lu_solve_refined`). Rows are equilibrated to unit max first —
     pivots stay O(1), matching `gj_inverse_f32`'s absorption guard.
+
+    `trail` picks the precision of the O(N³) trailing updates:
+      * "f32x6" — f32-true 3-word bf16 splits (6 MXU passes, ~1e-7
+        factor quality). Safe at any conditioning f64 refinement can
+        absorb; the default.
+      * "f32x3" — XLA `Precision.HIGH` (bf16x3, ~1.3e-5) with 2-word
+        pivot-row extraction: ~1.6× faster factor. The refinement
+        contraction rate degrades from ~cond·1e-7 to ~cond·1e-5 per
+        iteration, so this is for well-conditioned sweeps (the caller
+        measures/escalates; see `solve_sweep_panel`).
     """
+    if trail not in ("f32x6", "f32x3"):
+        raise ValueError(f"trail must be 'f32x6' or 'f32x3', got {trail!r}")
     if interpret is None:
         interpret = _interpret_default()
     if a.ndim == 2:
@@ -180,10 +198,16 @@ def panel_lu_factor(a: jax.Array, interpret: bool | None = None) -> PanelLUFacto
         done.append(jnp.swapaxes(fac_t, 1, 2))
         pivs.append(piv)
         if k + 1 < nb:
-            trail = rest[:, :, PANEL:]
-            rows = pivot_rows_mxu(trail, piv, np_)  # [G, P, W]
+            tr = rest[:, :, PANEL:]
+            words = 3 if trail == "f32x6" else 2
+            rows = pivot_rows_mxu(tr, piv, np_, words=words)  # [G, P, W]
             cmat = jnp.swapaxes(c_t, 1, 2)  # [G, Np, P]
-            rest = trail + matmul_f32_accurate(cmat, rows)
+            if trail == "f32x6":
+                rest = tr + matmul_f32_accurate(cmat, rows)
+            else:
+                rest = tr + jnp.matmul(
+                    cmat, rows, precision=jax.lax.Precision.HIGH
+                )
 
     perm = jnp.concatenate(pivs, axis=1)  # [G, Np]
     m_fac = jnp.concatenate(done, axis=2)  # [G, Np, Np]
@@ -309,8 +333,11 @@ def solve_sweep_panel(sys, config: MorfemConfig = DEFAULT_CONFIG):
     implementation.py:189-194): per chunk of `config.solve_chunk` points,
     assemble + factor + solve batched; then refine the WHOLE chunk with
     residuals computed against the three shared operators — wide Ozaki
-    matmuls instead of per-point narrow ones. Real working dtypes only
-    (the waveguide/FEM case); complex falls back to `solve_sweep`.
+    matmuls instead of per-point narrow ones. The factor runs the fast
+    bf16x3 trail first and escalates per chunk to the f32-true trail when
+    refinement stagnates above 1e-9·‖b‖ (see `panel_lu_factor`'s `trail`).
+    Real working dtypes only (the waveguide/FEM case); complex falls back
+    to `solve_sweep`.
 
     Returns x [I, N, M].
     """
@@ -356,14 +383,16 @@ def solve_sweep_panel(sys, config: MorfemConfig = DEFAULT_CONFIG):
 
     def solve_chunk(ts):
         a, rhs = assemble_at(sys, ts, symmetrize=config.symmetrize)
-        f = panel_lu_factor(a)
-        x = panel_lu_apply(f, rhs).astype(work)
         if not wide or refine_cap <= 0:
-            return x
+            # no refinement available to absorb a looser factor — use the
+            # f32-true trail unconditionally
+            f = panel_lu_factor(a)
+            return panel_lu_apply(f, rhs).astype(work)
 
         c, cb = sys.coefficients(ts)  # [G, 3], [G]
         b_w = rhs.astype(work)
-        tol = 10 * jnp.finfo(work).eps * jnp.linalg.norm(b_w)
+        b_norm = jnp.linalg.norm(b_w)
+        tol = 10 * jnp.finfo(work).eps * b_norm
 
         def residual(x):
             # one wide matmul per operator serves the whole chunk
@@ -377,25 +406,51 @@ def solve_sweep_panel(sys, config: MorfemConfig = DEFAULT_CONFIG):
             ax = jnp.moveaxis(ax.reshape(n, chunk, m), 1, 0)
             return b_w - ax
 
-        def cond_fn(state):
-            _, _, r_norm, r_prev, it = state
-            return jnp.logical_and(
-                jnp.logical_and(r_norm > tol, r_norm < 0.95 * r_prev),
-                it < refine_cap,
+        def factor_refine(trail):
+            f = panel_lu_factor(a, trail=trail)
+            x = panel_lu_apply(f, rhs).astype(work)
+
+            def cond_fn(state):
+                _, _, r_norm, r_prev, it = state
+                return jnp.logical_and(
+                    jnp.logical_and(r_norm > tol, r_norm < 0.95 * r_prev),
+                    it < refine_cap,
+                )
+
+            def body_fn(state):
+                x, r, r_norm, _, it = state
+                x = x + panel_lu_apply(f, r).astype(work)
+                r_new = residual(x)
+                return (x, r_new, jnp.linalg.norm(r_new), r_norm, it + 1)
+
+            r0 = residual(x)
+            x, _, r_norm, _, _ = lax.while_loop(
+                cond_fn, body_fn,
+                (x, r0, jnp.linalg.norm(r0),
+                 jnp.asarray(jnp.inf, r0.real.dtype), jnp.asarray(0)),
             )
+            return x, r_norm
 
-        def body_fn(state):
-            x, r, r_norm, _, it = state
-            x = x + panel_lu_apply(f, r).astype(work)
-            r_new = residual(x)
-            return (x, r_new, jnp.linalg.norm(r_new), r_norm, it + 1)
-
-        r0 = residual(x)
-        x, *_ = lax.while_loop(
-            cond_fn, body_fn,
-            (x, r0, jnp.linalg.norm(r0),
-             jnp.asarray(jnp.inf, r0.real.dtype), jnp.asarray(0)),
-        )
+        if config.panel_trail == "fast":
+            # fast-trail factor first (bf16x3 trailing updates, ~1.6×
+            # faster; refinement contraction ~cond·1e-5, converges for
+            # cond ≲ 1e4); escalate the WHOLE chunk to the f32-true trail
+            # when refinement stagnated short of a sound residual.
+            # Measured on the bundled waveguide: resonant chunks
+            # (cond ≳ 1e5) DIVERGE under the fast trail and pay both
+            # factors — that sweep is ~13% slower overall, which is why
+            # "accurate" is the default; "fast" wins ~15% on
+            # well-conditioned sweeps (BENCH extras / ROUND_NOTES r3).
+            x, r_norm = factor_refine("f32x3")
+            need_escalation = r_norm > jnp.maximum(tol, 1e-9 * b_norm)
+            x = lax.cond(
+                need_escalation,
+                lambda _: factor_refine("f32x6")[0],
+                lambda _: x,
+                operand=None,
+            )
+            return x
+        x, _ = factor_refine("f32x6")
         return x
 
     xs = lax.map(solve_chunk, ts_chunks)

@@ -118,6 +118,29 @@ def test_sweep_panel_nondivisible_chunk(rng):
     assert bool(jnp.isfinite(x).all())
 
 
+def test_fast_trail_factor_refines_to_working_precision(rng):
+    # trail="f32x3" (HIGH trailing updates + 2-word pivot extraction):
+    # looser factor, but refinement must still reach f64 precision
+    n, g = 300, 2
+    a = rng.standard_normal((g, n, n))
+    b = rng.standard_normal((g, n, 2))
+    f = panel_lu_factor(jnp.asarray(a), interpret=True, trail="f32x3")
+    x = panel_lu_apply(f, jnp.asarray(b)).astype(jnp.float64)
+    a64 = jnp.asarray(a)
+    b64 = jnp.asarray(b)
+    for _ in range(10):
+        r = b64 - a64 @ x
+        x = x + panel_lu_apply(f, r).astype(jnp.float64)
+    relres = np.linalg.norm(a @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert relres < 1e-12
+
+
+def test_factor_rejects_unknown_trail(rng):
+    a = jnp.asarray(rng.standard_normal((1, 64, 64)))
+    with pytest.raises(ValueError, match="trail"):
+        panel_lu_factor(a, interpret=True, trail="bf16")
+
+
 def test_panel_rejects_complex():
     from morfem_tpu.ops.solve import use_panel_factorization
 
