@@ -183,9 +183,12 @@ def solve_point_iterative(
         from morfem_tpu.ops.block_tridiag import banded_direct_solve
 
         # tol is forwarded as the refinement's relative-residual target;
-        # maxiter (a Krylov iteration budget) has no direct analogue —
-        # refinement is capped by its own refine_iterations default
-        x, relres, _ = banded_direct_solve(op, c, rhs, tol=tol)
+        # maxiter (a Krylov iteration budget) caps the f64 refinement
+        # steps — a caller bounding work with a small maxiter gets a
+        # genuinely bounded solve, not the unrelated default cap
+        x, relres, _ = banded_direct_solve(
+            op, c, rhs, tol=tol, refine_iterations=min(30, maxiter)
+        )
         return (x, relres) if return_residual else x
     diag = op.diagonal(c)
     safe = jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)

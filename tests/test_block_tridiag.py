@@ -147,6 +147,28 @@ def test_solve_point_iterative_auto_dispatches_direct():
     assert float(jnp.max(relres)) < 1e-10
 
 
+def test_solve_point_iterative_direct_honors_maxiter():
+    """method="direct" with maxiter=0 must skip refinement entirely: the
+    f32-factor residual stays well above the f64-refined one (the r2
+    advisory: a caller's Krylov budget used to be silently ignored)."""
+    from morfem_tpu.ops.sparse import solve_point_iterative
+
+    c, t = _helmholtz_pencil()
+    n = c.shape[0]
+    op = BandedAffineOperator(c, np.zeros_like(c), t, symmetrize=True)
+    coef = jnp.asarray([1.0, 0.0, -0.5])
+    rhs = np.random.default_rng(13).normal(size=(n, 2))
+    _, r_refined = solve_point_iterative(
+        op, coef, jnp.asarray(rhs), method="direct", return_residual=True
+    )
+    _, r_capped = solve_point_iterative(
+        op, coef, jnp.asarray(rhs), method="direct", maxiter=0,
+        return_residual=True,
+    )
+    assert float(jnp.max(r_refined)) < 1e-12
+    assert float(jnp.max(r_capped)) > 10 * float(jnp.max(r_refined))
+
+
 def test_banded_waveguide_generator_claims():
     """The generator's docstring claims: C and T SPD, A(f) strongly
     indefinite at in-band frequencies."""
