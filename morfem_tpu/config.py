@@ -126,12 +126,18 @@ class MorfemConfig:
     dense_cutoff: int = 8192
     band_max_half: int = 2048
     panel_trail: str = "accurate"
+    panel_pivot: str = "full"
 
     def __post_init__(self):
         if self.panel_trail not in ("accurate", "fast"):
             raise ValueError(
                 f"panel_trail must be 'accurate' or 'fast', got "
                 f"{self.panel_trail!r}"
+            )
+        if self.panel_pivot not in ("full", "block"):
+            raise ValueError(
+                f"panel_pivot must be 'full' or 'block', got "
+                f"{self.panel_pivot!r}"
             )
         if self.factorization not in ("auto", "lu", "gj", "panel"):
             raise ValueError(

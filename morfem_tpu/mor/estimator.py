@@ -81,7 +81,7 @@ def operator_images(
     mask = column_mask(q.shape[1], ncols, q.dtype)
     qm = q * mask
     if shared is not None:
-        return jnp.stack([shared.apply_op(p, qm) for p in range(3)])
+        return shared.apply_stack(qm)
     return jnp.stack([precise_matmul(a, qm) for a in sys.operators()])
 
 

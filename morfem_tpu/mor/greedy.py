@@ -21,6 +21,7 @@ increments (see morfem_tpu.mor.estimator docstring).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -40,7 +41,10 @@ from morfem_tpu.ops.orthonormalize import (
     orthonormalize_append_cgs2,
     orthonormalize_svd_masked,
 )
-from morfem_tpu.ops.precision import precise_matmul, precise_matmul_many
+from morfem_tpu.ops.precision import (
+    precise_matmul_chunked,
+    precise_matmul_many,
+)
 from morfem_tpu.ops.solve import solve_point
 from morfem_tpu.system import AffineSystem
 
@@ -115,7 +119,25 @@ def greedy_basis(
         (implementation.py:321-328);
       * the error history row is recorded for every estimator evaluation,
         including the final converged one (implementation.py:265-271).
+
+    The system always crosses a jit boundary as an ARGUMENT (config is the
+    static key). Calling the loop eagerly would close over the operators —
+    and on TPU their pre-split Ozaki slices, ~0.5 GB of bf16 — as HLO
+    CONSTANTS: measured round 3, that inflates the remote-compile request
+    past the axon service's size limit (HTTP 413) for subgraphs and runs
+    ~37× slower end-to-end than the same loop with parameter inputs.
     """
+    return _greedy_jitted(config)(sys)
+
+
+@functools.lru_cache(maxsize=64)
+def _greedy_jitted(config: MorfemConfig):
+    return jax.jit(functools.partial(_greedy_basis_impl, config=config))
+
+
+def _greedy_basis_impl(
+    sys: AffineSystem, config: MorfemConfig = DEFAULT_CONFIG
+) -> GreedyResult:
     m = sys.m
     n = sys.n
     k = max_basis_columns(m, config, n)
@@ -209,7 +231,10 @@ def greedy_basis(
             mask = column_mask(k, s.ncols, q.dtype)
 
             def project_out(v):
-                coeff = precise_matmul(q.conj().T, v)
+                # chunked f64 (not ozaki): the guard only needs ~8 digits
+                # to decide independence, and each ozaki_apply instance
+                # costs ~8 s of XLA compile inside this loop body
+                coeff = precise_matmul_chunked(q.conj().T, v)
                 return v - jnp.matmul(q, coeff * mask[:, None], precision=_HI)
 
             resid = project_out(project_out(x_new))

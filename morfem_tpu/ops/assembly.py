@@ -101,20 +101,25 @@ class SharedAffineApply:
             and _prec.OZAKI_MIN_K <= n <= (1 << 20)
             and jax.default_backend() == "tpu"
         ):
-            self.preps = tuple(_prec.ozaki_prepare(o) for o in ops)
+            # ONE prep over the stacked [3, N, N] operators: the apply
+            # broadcasts over the leading axis, so all three products
+            # trace as a SINGLE ozaki_apply instance. Each instance costs
+            # ~8 s of XLA compile at N≈3.4k (measured round 3) — three
+            # separate applies per call site were the bulk of the greedy
+            # cold-compile regression.
+            self.preps = _prec.ozaki_prepare(jnp.stack(ops))
 
-    def apply_op(self, p: int, x: jax.Array) -> jax.Array:
-        """A_p @ x, f64-true."""
+    def apply_stack(self, x: jax.Array) -> jax.Array:
+        """All three products at once: [3, N, cols], f64-true."""
         from morfem_tpu.ops import precision as _prec
 
         if self.preps is not None:
-            return _prec.ozaki_apply(self.preps[p], x.astype(jnp.float64))
-        return _prec.precise_matmul(self.ops[p], x)
+            return _prec.ozaki_apply(self.preps, x.astype(jnp.float64))
+        return jnp.stack(
+            [_prec.precise_matmul(o, x) for o in self.ops]
+        )
 
     def apply(self, c: jax.Array, x: jax.Array) -> jax.Array:
         """A(c) @ x = Σ_p c_p·(A_p @ x), f64-true; c [3] scalars."""
-        out = None
-        for p in range(3):
-            term = c[..., p] * self.apply_op(p, x)
-            out = term if out is None else out + term
-        return out
+        st = self.apply_stack(x)
+        return jnp.tensordot(c, st, axes=([-1], [0]))

@@ -228,6 +228,121 @@ def panel_lu_factor(
                           dinv=dinv, n=n)
 
 
+def panel_lu_factor_block(
+    a: jax.Array,
+    interpret: bool | None = None,
+    trail: str = "f32x6",
+) -> PanelLUFactors:
+    """Blocked LU with BLOCK-LOCAL pivoting — the GEMM-only fast factor.
+
+    `panel_lu_factor` runs partial pivoting over ALL remaining rows, which
+    costs three things the MXU cannot help with (measured at N=3411,
+    G=16): the full-height Pallas panel kernel (~9.5 ms/matrix — 128
+    sequential column steps over Np lanes), the trailing pivot-row
+    extraction (~4 ms), and the final full-matrix permutation gather
+    (~2 ms). This variant pivots only WITHIN each 128-row diagonal block
+    (classic block/pairwise pivoting):
+
+        P_k·D = L11·U11  (local 128×128 factor, Pallas kernel at 128
+                          lanes — ~27× less column-step work)
+        U12 = L11⁻¹·P_k·A12,  L21 = A21·U11⁻¹   (pre-inverted diagonal
+                          blocks: pure GEMMs, no TriangularSolve)
+        S   = A22 − L21·U12                      (f32-true trailing GEMM)
+
+    so every O(N³) FLOP is a big GEMM and no cross-block row movement
+    exists (perm is block-local; the factor assembles directly in
+    textbook order). Numerically this is weaker than partial pivoting —
+    element growth is unbounded when a diagonal block is ill-conditioned
+    even after local pivoting — so callers MUST verify residuals and
+    escalate to `panel_lu_factor` on stagnation (`solve_sweep_panel`
+    does, the same pattern as the fast-trail escalation). Returns the
+    same `PanelLUFactors` contract; `panel_lu_apply` works unchanged.
+    """
+    if trail not in ("f32x6", "f32x3"):
+        raise ValueError(f"trail must be 'f32x6' or 'f32x3', got {trail!r}")
+    if interpret is None:
+        interpret = _interpret_default()
+    if a.ndim == 2:
+        a = a[None]
+    g, n, n2 = a.shape
+    if n != n2:
+        raise ValueError(f"square systems required, got {a.shape}")
+    np_ = _round_up(n, PANEL)
+    nb = np_ // PANEL
+
+    a32 = a.astype(jnp.float32)
+    d = jnp.max(jnp.abs(a32), axis=-1)
+    d = jnp.where(d == 0, 1.0, d)
+    a32 = a32 / d[..., None]
+    dinv = jnp.ones((g, np_), jnp.float32).at[:, :n].set(1.0 / d)
+    if np_ != n:
+        pad = np_ - n
+        a32 = jnp.pad(a32, ((0, 0), (0, pad), (0, pad)))
+        eye_idx = jnp.arange(n, np_)
+        a32 = a32.at[:, eye_idx, eye_idx].set(1.0)
+
+    if trail == "f32x6":
+        mmt = matmul_f32_accurate
+    else:
+        def mmt(x, y):
+            return jnp.matmul(x, y, precision=jax.lax.Precision.HIGH)
+
+    take = jax.vmap(lambda m, i: jnp.take(m, i, axis=0))
+    eye = jnp.eye(PANEL, dtype=jnp.float32)
+    ones_avail = jnp.ones((g, PANEL), jnp.float32)
+    out = jnp.zeros((g, np_, np_), jnp.float32)
+    rest = a32
+    linvs, uinvs, pivs = [], [], []
+    for k in range(nb):
+        d_t = jnp.swapaxes(rest[:, :PANEL, :PANEL], 1, 2)  # [G, Pc, Pr]
+        fac_t, _c, piv, _av = panel_factor(d_t, ones_avail,
+                                           interpret=interpret)
+        fac = jnp.swapaxes(fac_t, 1, 2)  # [G, Pr, Pc]
+        lu_d = take(fac, piv)  # compact textbook LU of P_k·D
+        l11 = jnp.tril(lu_d, -1) + eye
+        u11 = jnp.triu(lu_d)
+        linv = _unit_lower_inv(l11)
+        uinv = _upper_inv(u11)
+        if k > 0:
+            # the local pivot also reorders this block band's already-
+            # written L21 rows (LAPACK's laswp across the factored left
+            # part); columns ≥ k·P are overwritten below anyway
+            band = lax.dynamic_slice(
+                out, (0, k * PANEL, 0), (g, PANEL, np_)
+            )
+            out = lax.dynamic_update_slice(
+                out, take(band, piv), (0, k * PANEL, 0)
+            )
+        if k + 1 < nb:
+            a12p = take(rest[:, :PANEL, PANEL:], piv)  # [G, P, W]
+            u12 = mmt(linv, a12p)
+            l21 = mmt(rest[:, PANEL:, :PANEL], uinv)  # [G, W, P]
+            rest = rest[:, PANEL:, PANEL:] - mmt(l21, u12)
+            row_block = jnp.concatenate([lu_d, u12], axis=2)
+            out = lax.dynamic_update_slice(
+                out, row_block, (0, k * PANEL, k * PANEL)
+            )
+            out = lax.dynamic_update_slice(
+                out, l21, (0, (k + 1) * PANEL, k * PANEL)
+            )
+        else:
+            out = lax.dynamic_update_slice(
+                out, lu_d, (0, k * PANEL, k * PANEL)
+            )
+        linvs.append(linv)
+        uinvs.append(uinv)
+        pivs.append(k * PANEL + piv)
+
+    return PanelLUFactors(
+        lug=out,
+        perm=jnp.concatenate(pivs, axis=1),
+        linv=jnp.stack(linvs, axis=1),
+        uinv=jnp.stack(uinvs, axis=1),
+        dinv=dinv,
+        n=n,
+    )
+
+
 def panel_lu_apply(f: PanelLUFactors, rhs: jax.Array) -> jax.Array:
     """Approximate A⁻¹·rhs from the f32 factors; rhs [G, N, M] any float.
 
@@ -371,13 +486,19 @@ def solve_sweep_panel(sys, config: MorfemConfig = DEFAULT_CONFIG):
         and jax.default_backend() == "tpu"
     )
     if use_ozaki:
-        preps = tuple(ozaki_prepare(o.astype(jnp.float64)) for o in ops)
+        # one prep over the stacked operators → one broadcast apply (an
+        # ozaki_apply instance costs ~8 s of XLA compile at this N)
+        prep3 = ozaki_prepare(
+            jnp.stack([o.astype(jnp.float64) for o in ops])
+        )
 
-        def op_apply(p, xf):  # [N, cols] f64
-            return ozaki_apply(preps[p], xf)
+        def ops_apply(xf):  # [N, cols] f64 → [3, N, cols]
+            return ozaki_apply(prep3, xf)
     else:
-        def op_apply(p, xf):
-            return precise_matmul(ops[p].astype(work), xf)
+        def ops_apply(xf):
+            return jnp.stack(
+                [precise_matmul(o.astype(work), xf) for o in ops]
+            )
 
     refine_cap = config.refine_iterations
 
@@ -395,19 +516,19 @@ def solve_sweep_panel(sys, config: MorfemConfig = DEFAULT_CONFIG):
         tol = 10 * jnp.finfo(work).eps * b_norm
 
         def residual(x):
-            # one wide matmul per operator serves the whole chunk
+            # one wide 3-stacked matmul serves the whole chunk
             xf = jnp.moveaxis(x, 0, 1).reshape(n, chunk * m)
-            ax = jnp.zeros_like(xf)
-            for p in range(3):
-                y = op_apply(p, xf).reshape(n, chunk, m)
-                ax = ax + (
-                    c[:, p][None, :, None] * y
-                ).reshape(n, chunk * m)
-            ax = jnp.moveaxis(ax.reshape(n, chunk, m), 1, 0)
-            return b_w - ax
+            ys = ops_apply(xf).reshape(3, n, chunk, m)
+            # elementwise weighted sum (exact in emulated f64; a dot over
+            # the length-3 axis would route through the matmul emulation)
+            ax = sum(c[:, p][None, :, None] * ys[p] for p in range(3))
+            return b_w - jnp.moveaxis(ax, 0, 1)
 
-        def factor_refine(trail):
-            f = panel_lu_factor(a, trail=trail)
+        def factor_refine(trail, pivot="full"):
+            if pivot == "block":
+                f = panel_lu_factor_block(a, trail=trail)
+            else:
+                f = panel_lu_factor(a, trail=trail)
             x = panel_lu_apply(f, rhs).astype(work)
 
             def cond_fn(state):
@@ -431,6 +552,27 @@ def solve_sweep_panel(sys, config: MorfemConfig = DEFAULT_CONFIG):
             )
             return x, r_norm
 
+        sound_tol = jnp.maximum(tol, 1e-9 * b_norm)
+
+        if config.panel_pivot == "block":
+            # GEMM-only block-pivot factor first (no full-height panel
+            # kernel / pivot extraction / permutation gather); escalate
+            # the WHOLE chunk to the partial-pivot factor when refinement
+            # stagnated short of a sound residual (block pivoting's
+            # element growth is unbounded on ill-conditioned diagonal
+            # blocks — the residual check is what makes it safe).
+            first_trail = (
+                "f32x3" if config.panel_trail == "fast" else "f32x6"
+            )
+            x, r_norm = factor_refine(first_trail, pivot="block")
+            need_escalation = r_norm > sound_tol
+            x = lax.cond(
+                need_escalation,
+                lambda _: factor_refine("f32x6", pivot="full")[0],
+                lambda _: x,
+                operand=None,
+            )
+            return x
         if config.panel_trail == "fast":
             # fast-trail factor first (bf16x3 trailing updates, ~1.6×
             # faster; refinement contraction ~cond·1e-5, converges for
@@ -442,7 +584,7 @@ def solve_sweep_panel(sys, config: MorfemConfig = DEFAULT_CONFIG):
             # "accurate" is the default; "fast" wins ~15% on
             # well-conditioned sweeps (BENCH extras / ROUND_NOTES r3).
             x, r_norm = factor_refine("f32x3")
-            need_escalation = r_norm > jnp.maximum(tol, 1e-9 * b_norm)
+            need_escalation = r_norm > sound_tol
             x = lax.cond(
                 need_escalation,
                 lambda _: factor_refine("f32x6")[0],

@@ -84,6 +84,19 @@ def precise_matmul(a: jax.Array, b: jax.Array) -> jax.Array:
             b.astype(jnp.float64)[:, None] if vector_rhs else b.astype(jnp.float64),
         )
         return out[..., 0] if vector_rhs else out
+    return precise_matmul_chunked(a, b)
+
+
+def precise_matmul_chunked(a: jax.Array, b: jax.Array) -> jax.Array:
+    """The chunked emulated-f64 path, callable directly.
+
+    ~8 digits at any contraction width (2.2e-15 measured at K=8192) but
+    slower than the Ozaki path at large K. Direct use is a TRACE-SIZE
+    escape hatch: one chunked product is 2 HLO matmuls (~1.4 s XLA
+    compile) vs an `ozaki_apply` instance (~8 s) — the right trade for
+    narrow, accuracy-tolerant products inside compiled loops (the
+    greedy's stagnation guard)."""
+    k = a.shape[-1]
     if not _needs_chunking(a, b):
         return jnp.matmul(a, b, precision=HIGHEST)
     vector_rhs = b.ndim == 1
@@ -250,23 +263,34 @@ def ozaki_prepare(a: jax.Array, bits: int = 55):
     k = a.shape[-1]
     beta, q = ozaki_params(k, bits)
     sa, ea = ozaki_split(a, axis=-1, beta=beta, q=q)
-    return (sa, ea, beta, q)
+    # slices flattened along the row axis ([..., q·m, k]) so one apply is
+    # ONE bf16 matmul — see ozaki_apply
+    return (jnp.concatenate(sa, axis=-2), ea, beta, q)
 
 
 def ozaki_apply(prep, b: jax.Array) -> jax.Array:
-    """a @ b with a pre-split LHS from `ozaki_prepare`.
+    """a @ b with a pre-split LHS from `ozaki_prepare` — ONE bf16 matmul.
 
-    Two pass structures, both exact:
+    The LHS slices arrive flattened along rows ([..., q·m, k]) and the
+    RHS slices are concatenated along columns with their 2^(−β(j+1))
+    weights folded in (a power-of-2 scale only shifts the bf16 exponent,
+    so each column block still accumulates exactly on its own grid). The
+    single [q·m, k] @ [k, q·p] product computes every slice pair (i, j)
+    as its own output block — blocks never mix, so the
+    integer-partial-sum < 2²⁴ exactness argument holds per block — and a
+    q-term unrolled recombination (smallest weights first) finishes in
+    f64.
 
-    - narrow RHS (n·q ≤ 512 lanes): LHS-stationary — all RHS slices are
-      concatenated into one wide operand so each A-slice is read from HBM
-      ONCE (q passes). The naive pair loop reads A-slices q(q+1)/2 times
-      and is bandwidth-bound: measured 13 ms vs ~2 ms per batched apply
-      at [8,3456,3456]@[8,3456,8].
-    - wide RHS: the pair loop with the i+j ≤ q−1 weight cap (FLOP-bound
-      regime; the wide concatenation would multiply FLOPs by ~q/2).
+    Why one matmul and not a loop: a `lax.scan` of MXU passes costs
+    ~8-10 s of XLA compile PER APPLY INSTANCE at N≈3.4k (measured round
+    3; the unrolled 55-matmul pair loop was minutes) — with ~7 applies
+    inside the greedy while_loop body that dominated the cold compile.
+    A flat matmul compiles like any other matmul. FLOPs: q²·m·k·p — for
+    narrow RHS identical to the old LHS-stationary structure; for wide
+    RHS ~1.8× the old i+j ≤ q−1 pair cap, a sub-ms cost at the [K, N]
+    projection shapes that take this path.
     """
-    sa, ea, beta, q = prep
+    sa_flat, ea, beta, q = prep  # sa_flat [..., q·m, k]
     n = b.shape[-1]
     # sub-8-lane outputs hit a pathological lowering (measured 29 ms vs
     # 6.9 ms at N=3456 for n=2 vs n=8) — pad narrow RHS
@@ -277,65 +301,36 @@ def ozaki_apply(prep, b: jax.Array) -> jax.Array:
         )
     p_cols = n + pad
     sb, eb = ozaki_split(b, axis=-2, beta=beta, q=q)
-    if p_cols * q <= 512:
-        # LHS-stationary as ONE lax.scan over the stacked A-slices: the
-        # RHS slices are concatenated with their 2^(−β(j+1)) weights
-        # folded in (a power-of-2 scale only shifts the bf16 exponent, so
-        # each column block still accumulates exactly on its own grid).
-        # One matmul per scan step keeps the traced graph small — the
-        # unrolled 55-matmul form added ~minutes of XLA compile when
-        # embedded in the greedy while_loop.
-        xcat = jnp.concatenate(
-            [
-                sb[j] * jnp.asarray(2.0 ** (-beta * (j + 1)), jnp.bfloat16)
-                for j in range(q)
-            ],
-            axis=-1,
-        )  # [..., k, q·p] bf16 (power-of-2 scales are exact in bf16)
-        sa_stack = jnp.stack(sa)  # [q, ..., m, k]
-        wi = jnp.asarray(
-            [2.0 ** (-beta * (i + 1)) for i in range(q - 1, -1, -1)],
-            jnp.float64,
-        )
-
-        def step(acc, inputs):
-            sai, w = inputs
-            pi = jnp.matmul(sai, xcat, preferred_element_type=jnp.float32)
-            shp = pi.shape[:-1] + (q, p_cols)
-            blocks = pi.reshape(shp).astype(jnp.float64)
-            return acc + w * jnp.sum(blocks, axis=-2), None
-
-        out0 = jnp.zeros(
-            jnp.broadcast_shapes(sa[0].shape[:-2], b.shape[:-2])
-            + (sa[0].shape[-2], p_cols),
-            jnp.float64,
-        )
-        # smallest weights first so nothing is swamped
-        out, _ = jax.lax.scan(step, out0, (sa_stack[::-1], wi))
-    else:
-        out = None
-        # wide RHS: pair loop with the i+j ≤ q−1 weight cap (FLOP-bound
-        # regime; the concatenation would multiply FLOPs by ~q)
-        for w in range(q - 1, -1, -1):
-            for i in range(max(0, w - q + 1), min(w, q - 1) + 1):
-                p = jnp.matmul(
-                    sa[i], sb[w - i], preferred_element_type=jnp.float32
-                )
-                term = p.astype(jnp.float64) * float(
-                    2.0 ** (-beta * (w + 2))
-                )
-                out = term if out is None else out + term
+    xcat = jnp.concatenate(
+        [
+            sb[j] * jnp.asarray(2.0 ** (-beta * (j + 1)), jnp.bfloat16)
+            for j in range(q)
+        ],
+        axis=-1,
+    )  # [..., k, q·p] bf16
+    big = jnp.matmul(sa_flat, xcat, preferred_element_type=jnp.float32)
+    m = sa_flat.shape[-2] // q
+    shp = big.shape[:-2] + (q, m, q, p_cols)
+    blocks = big.reshape(shp)
+    bj = jnp.sum(blocks.astype(jnp.float64), axis=-2)  # [..., q, m, p]
+    out = jnp.zeros(bj.shape[:-3] + (m, p_cols), jnp.float64)
+    for i in range(q - 1, -1, -1):  # smallest weights first
+        out = out + float(2.0 ** (-beta * (i + 1))) * bj[..., i, :, :]
     out = out * (ea * eb)
     return out[..., :n] if pad else out
 
 
 def precise_matmul_many(a: jax.Array, bs) -> tuple:
-    """``(a @ b for b in bs)`` with ONE LHS split shared across products.
+    """``(a @ b for b in bs)`` with ONE LHS split and ONE apply.
 
     Trace-size/runtime optimization for compiled loops (the greedy body
     projects four operands against the same Qᵀ every iteration): on the
-    TPU real-f64 ozaki path the LHS is prepared once; elsewhere this is
-    just a loop of `precise_matmul`.
+    TPU real-f64 ozaki path the LHS is prepared once and the right-hand
+    sides are CONCATENATED into a single apply — each `ozaki_apply`
+    instance costs ~8 s of XLA compile at N≈3.4k (measured, round 3), so
+    four separate applies in a while_loop body were a material part of
+    the greedy cold-compile. Elsewhere this is a loop of
+    `precise_matmul`.
     """
     wide = all(
         jnp.result_type(a.dtype, b.dtype)
@@ -349,7 +344,13 @@ def precise_matmul_many(a: jax.Array, bs) -> tuple:
         and jax.default_backend() == "tpu"
     ):
         prep = ozaki_prepare(a.astype(jnp.float64))
-        return tuple(ozaki_apply(prep, b.astype(jnp.float64)) for b in bs)
+        widths = [b.shape[-1] for b in bs]
+        cat = jnp.concatenate(
+            [b.astype(jnp.float64) for b in bs], axis=-1
+        )
+        out = ozaki_apply(prep, cat)
+        bounds = np.cumsum(widths)[:-1].tolist()
+        return tuple(jnp.split(out, bounds, axis=-1))
     return tuple(precise_matmul(a, b) for b in bs)
 
 

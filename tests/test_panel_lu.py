@@ -118,6 +118,69 @@ def test_sweep_panel_nondivisible_chunk(rng):
     assert bool(jnp.isfinite(x).all())
 
 
+@pytest.mark.parametrize("n", [128, 200, 384])
+def test_block_pivot_factor_apply_quality(rng, n):
+    from morfem_tpu.ops.panel_lu import panel_lu_factor_block
+
+    g = 2
+    a = rng.standard_normal((g, n, n))
+    a[1] = (a[1] + a[1].T) / 2  # symmetric indefinite lane
+    b = rng.standard_normal((g, n, 3))
+    f = panel_lu_factor_block(jnp.asarray(a), interpret=True)
+    x = np.asarray(panel_lu_apply(f, jnp.asarray(b)), np.float64)
+    relres = np.linalg.norm(a @ x - b) / np.linalg.norm(b)
+    # block pivoting's growth factor exceeds partial pivoting's — the raw
+    # factor is f32-grade up to that growth; the refinement tests below
+    # and the sweep's escalation are the real contract
+    assert relres < 1e-1
+    # and refinement with this factor must still converge to f64
+    a64, b64 = jnp.asarray(a), jnp.asarray(b)
+    xr = panel_lu_apply(f, b64).astype(jnp.float64)
+    for _ in range(10):
+        xr = xr + panel_lu_apply(f, b64 - a64 @ xr).astype(jnp.float64)
+    relres_r = np.linalg.norm(a @ np.asarray(xr) - b) / np.linalg.norm(b)
+    assert relres_r < 1e-12
+
+
+def test_block_pivot_refines_to_f64(rng):
+    from morfem_tpu.ops.panel_lu import panel_lu_factor_block
+
+    n, g = 300, 2
+    a = rng.standard_normal((g, n, n))
+    b = rng.standard_normal((g, n, 2))
+    f = panel_lu_factor_block(jnp.asarray(a), interpret=True)
+    a64 = jnp.asarray(a)
+    b64 = jnp.asarray(b)
+    x = panel_lu_apply(f, b64).astype(jnp.float64)
+    for _ in range(8):
+        r = b64 - a64 @ x
+        x = x + panel_lu_apply(f, r).astype(jnp.float64)
+    relres = np.linalg.norm(a @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert relres < 1e-12
+
+
+def test_sweep_block_pivot_with_escalation(rng):
+    """panel_pivot="block" end-to-end: results must match the full-pivot
+    sweep to refinement precision (escalation covers hard chunks)."""
+    from morfem_tpu.system import AffineSystem
+    from morfem_tpu.utils.synthetic import random_affine_system
+
+    parts = random_affine_system(
+        jax.random.PRNGKey(5), n=200, m=2, num_points=6
+    )
+    sys_ = AffineSystem.create(*parts)
+    cfg_full = MorfemConfig(factorization="panel", solve_chunk=3)
+    cfg_blk = MorfemConfig(
+        factorization="panel", solve_chunk=3, panel_pivot="block"
+    )
+    x_full = solve_sweep_panel(sys_, cfg_full)
+    x_blk = solve_sweep_panel(sys_, cfg_blk)
+    rel = float(
+        jnp.linalg.norm(x_blk - x_full) / jnp.linalg.norm(x_full)
+    )
+    assert rel < 1e-9
+
+
 def test_fast_trail_factor_refines_to_working_precision(rng):
     # trail="f32x3" (HIGH trailing updates + 2-word pivot extraction):
     # looser factor, but refinement must still reach f64 precision
