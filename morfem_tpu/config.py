@@ -31,7 +31,17 @@ class MorfemConfig:
         with the Pallas panel kernel (ops/panel_lu.py): rank-128 GEMM
         trailing updates on the MXU, scan-of-matmuls triangular solves;
         real operators only. "auto" (default) resolves to "panel" for
-        real f32-factored batched sweeps on TPU, else "lu".
+        real f32-factored batched sweeps on TPU, else "lu". Two panel
+        knobs: `panel_trail` — "accurate" (default, f32-true bf16x6
+        trailing updates) or "fast" (bf16x3, ~1.6× faster factor,
+        escalates per chunk when refinement stagnates); `panel_pivot` —
+        "block" (default): pivot only within each 128-row diagonal block,
+        so the whole factor is GEMMs (measured 1.7× faster full-order
+        sweep at N=3411: 1.8 s vs 3.1 s for 100 points) with a
+        residual-checked escalation to "full" partial pivoting per chunk
+        (block pivoting's element growth is unbounded on ill-conditioned
+        diagonal blocks; escalation makes it exact-safe), or "full":
+        always partial pivoting over all remaining rows.
       use_equally_distributed: select the equally-distributed basis strategy
         instead of the greedy one (reference: implementation.py:13, :175).
       equally_distributed_reduction_rate: fraction of domain points NOT used
@@ -126,7 +136,7 @@ class MorfemConfig:
     dense_cutoff: int = 8192
     band_max_half: int = 2048
     panel_trail: str = "accurate"
-    panel_pivot: str = "full"
+    panel_pivot: str = "block"
 
     def __post_init__(self):
         if self.panel_trail not in ("accurate", "fast"):
