@@ -149,18 +149,14 @@ def _greedy_basis_impl(
     dtype = jnp.result_type(sys.dtype, c_probe.dtype, cb_probe.dtype)
     rdtype = jnp.zeros((), dtype).real.dtype
 
-    # one vmapped solve for both seeds: each traced solve instance embeds
-    # an LU + adaptive-refinement (Ozaki) subgraph whose XLA optimization
-    # is expensive — two separate instances measurably inflate compile
-    from morfem_tpu.ops.assembly import SharedAffineApply
-    from morfem_tpu.ops.solve import solve_batch
-
     # Hoisted operand splits (r2 verdict item #3 — the greedy cold
     # compile): the Ozaki split of each loop-INVARIANT operator is built
     # once here; the loop body then traces only the compact applies.
     # `shared_raw` feeds the estimator's U_p images (raw-operator
     # semantics, see mor/estimator.py); `shared_sym` the snapshot-solve
     # refinement residuals (which see the assembled/symmetrized A(t)).
+    from morfem_tpu.ops.assembly import SharedAffineApply
+
     shared_raw = SharedAffineApply(sys.operators(), symmetrize=False)
     shared_sym = (
         SharedAffineApply(sys.operators(), symmetrize=True)
@@ -171,18 +167,16 @@ def _greedy_basis_impl(
         shared_raw = shared_sym = None  # off the ozaki path: smaller to
         # let the solvers use their local accurate matmuls
 
-    xs = solve_batch(
-        sys, jnp.stack([sys.domain[0], sys.domain[-1]]), config,
-        shared=shared_sym,
-    )  # [2, N, M]
-    seeds = jnp.concatenate([xs[0], xs[1]], axis=1).astype(dtype)  # [N, 2M]
-    q = jnp.zeros((n, k), dtype)
-    q = lax.dynamic_update_slice(q, seeds, (0, 0))
-    q = orthonormalize_svd_masked(q, jnp.asarray(2 * m))
-
+    # The two SEED snapshots (domain[0], domain[-1] —
+    # implementation.py:222-226) run through the SAME while_loop body as
+    # the greedy refinement snapshots (iterations with ncols < 2m skip
+    # the estimator and pin t_star to the seed points): a separate seed
+    # solve instance would re-trace the whole LU + adaptive-refinement
+    # subgraph, which measurably costs ~30 s of the cold XLA compile
+    # (round-3 ablation: solve_batch 29.5 s, the full greedy 120.4 s).
     init = GreedyState(
-        q=q,
-        ncols=jnp.asarray(2 * m),
+        q=jnp.zeros((n, k), dtype),
+        ncols=jnp.asarray(0),
         it=jnp.asarray(0),
         err_hist=jnp.zeros((max_iters + 1, i), rdtype),
         converged=jnp.asarray(False),
@@ -192,37 +186,53 @@ def _greedy_basis_impl(
     def cond(s: GreedyState):
         return jnp.logical_and(~s.done, s.it <= max_iters)
 
-    def body(s: GreedyState):
+    def run_estimator(q, ncols):
         if config.estimator == "gram":
-            blocks, u = estimator_blocks(sys, s.q, s.ncols)
-            rm = _reduced_from_u(sys, s.q, s.ncols, u)
+            blocks, u = estimator_blocks(sys, q, ncols)
+            rm = _reduced_from_u(sys, q, ncols, u)
             err, _ = estimate_errors(rm, blocks, config)
         else:
-            u = operator_images(sys, s.q, s.ncols, shared=shared_raw)
-            rm = _reduced_from_u(sys, s.q, s.ncols, u)
+            u = operator_images(sys, q, ncols, shared=shared_raw)
+            rm = _reduced_from_u(sys, q, ncols, u)
             err, _ = estimate_errors_direct(rm, u, sys.b, config)
+        return err
+
+    def body(s: GreedyState):
+        # Seed phase: the first two body iterations take snapshots at the
+        # domain endpoints without consulting the estimator (whose reduced
+        # solve would be singular on an empty basis).
+        seed_phase = s.ncols < 2 * m
+        err = lax.cond(
+            seed_phase,
+            lambda q, ncols: jnp.zeros((i,), rdtype),
+            run_estimator,
+            s.q,
+            s.ncols,
+        )
         # Under vmap (multi_geometry_greedy) the while_loop runs until the
         # SLOWEST lane converges and the body keeps executing for lanes
         # that are already done — every state update below is guarded by
-        # s.done so a finished lane's result is bit-identical to its
-        # serial run (frozen it/err_hist, no further basis growth even
-        # for stagnated-not-converged lanes).
+        # s.done (and seed_phase) so a finished lane's result is
+        # bit-identical to its serial run (frozen it/err_hist, no further
+        # basis growth even for stagnated-not-converged lanes).
+        frozen = jnp.logical_or(s.done, seed_phase)
         err_hist = s.err_hist.at[s.it].set(
-            jnp.where(s.done, s.err_hist[s.it], err)
+            jnp.where(frozen, s.err_hist[s.it], err)
         )
         err_max = jnp.max(err)
         converged = jnp.where(
-            s.done, s.converged, err_max < config.error_threshold
+            frozen, s.converged, err_max < config.error_threshold
         )
         # Out of column budget → stop expanding even if not converged.
         out_of_budget = s.ncols + m > k
         # A NaN estimate can never converge; bail out instead of burning
         # the remaining budget on garbage snapshots.
-        poisoned = jnp.isnan(err_max)
+        poisoned = jnp.logical_and(~seed_phase, jnp.isnan(err_max))
+        t_seed = jnp.where(s.ncols == 0, sys.domain[0], sys.domain[-1])
+        t_star = jnp.where(seed_phase, t_seed, sys.domain[jnp.argmax(err)])
 
         def solve_new(args):
             q, _ = args
-            t_star = sys.domain[jnp.argmax(err)]
             x_new = solve_point(
                 sys, t_star, config, shared=shared_sym
             ).astype(q.dtype)
@@ -281,7 +291,7 @@ def _greedy_basis_impl(
         return GreedyState(
             q=q2,
             ncols=ncols2,
-            it=jnp.where(s.done, s.it, s.it + 1),
+            it=jnp.where(frozen, s.it, s.it + 1),
             err_hist=err_hist,
             converged=converged,
             done=done,
