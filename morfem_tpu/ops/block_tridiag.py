@@ -540,8 +540,10 @@ def truncated_band_via_rcm(
     diagonal under RCM — mesh graphs put only the long-range couplings
     outside. This builds, on the SAME permutation:
 
-      * an exact `SparseAffineOperator` (BCOO) for operator applies and
-        residuals — correctness never depends on the truncation;
+      * an exact operator for applies and residuals — dense-block BSR
+        (`BlockSparseAffineOperator`, MXU contractions) when the pattern
+        blocks well, element-wise BCOO otherwise; correctness never
+        depends on the truncation;
       * a `BandedAffineOperator` truncated to ``band_half`` as the
         in-band approximation, whose shifted block-tridiagonal
         factorization serves as the GMRES preconditioner
@@ -590,7 +592,15 @@ def truncated_band_via_rcm(
     band_op = BandedAffineOperator(
         *permuted, symmetrize=symmetrize, tile=tile, bandwidth=band_half
     )
-    exact_op = SparseAffineOperator(*permuted, symmetrize=symmetrize)
+    # Exact applies: dense-block (BSR) storage keeps the GMRES matvecs on
+    # the MXU (ops/block_sparse.py); fall back to element-wise BCOO when
+    # the pattern is too scattered for blocking to pay (dense-block
+    # storage would exceed ~32× the union nnz).
+    from morfem_tpu.ops.block_sparse import BlockSparseAffineOperator
+
+    exact_op = BlockSparseAffineOperator(*permuted, symmetrize=symmetrize)
+    if exact_op.inflation > 32.0:
+        exact_op = SparseAffineOperator(*permuted, symmetrize=symmetrize)
     return exact_op, band_op, jnp.asarray(perm), dropped
 
 
@@ -610,7 +620,7 @@ def general_sparse_solve(
     The last `splu` parity gap (VERDICT r2 #4): indefinite systems whose
     RCM bandwidth exceeds the block-tridiagonal limit previously fell
     back to Jacobi-Krylov, which stagnates on them. Here GMRES runs on
-    the EXACT operator (BCOO applies) preconditioned by the shifted
+    the EXACT operator (block-sparse/BCOO applies) preconditioned by the shifted
     block-direct factorization of the in-band part
     (`shifted_block_precond` on the truncated `band_op`): the shift
     regularizes the elimination at resonances exactly as in the fully

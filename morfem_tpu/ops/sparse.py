@@ -101,11 +101,13 @@ class SparseAffineOperator:
 
 
 class GeneralSparseOperator:
-    """Exact BCOO applies + truncated-band shifted-direct preconditioning.
+    """Exact sparse applies + truncated-band shifted-direct preconditioning.
 
     The operator for sparsity that RCM cannot make banded
-    (`BandwidthError`): applies/residuals go through the exact
-    `SparseAffineOperator`; solves run preconditioned GMRES with the
+    (`BandwidthError`): applies/residuals go through the exact operator —
+    a dense-block `BlockSparseAffineOperator` (MXU contractions,
+    ops/block_sparse.py) when the pattern blocks well, else the
+    element-wise `SparseAffineOperator`; solves run preconditioned GMRES with the
     shifted block-direct factorization of the RCM in-band part
     (ops/block_tridiag.py::general_sparse_solve) — robust on indefinite
     systems where the plain Jacobi-Krylov fallback stagnates.
