@@ -313,11 +313,20 @@ def sparse_snapshot_basis(
     if worst > max(tol * 100, 1e-8):
         import warnings
 
+        hint = ""
+        if getattr(op, "dropped", 0.0) > 0.01:
+            # a weak truncated-band preconditioner is the usual culprit:
+            # its quality is bounded by the out-of-band mass it drops
+            hint = (
+                f" The in-band preconditioner drops {op.dropped:.1%} of "
+                "the operator's mass — raising config.band_max_half "
+                "should restore convergence."
+            )
         warnings.warn(
             f"iterative snapshot solves reached only {worst:.1e} relative "
             "residual — the operator is likely strongly indefinite; the "
             "basis may be unusable (consider the dense path or a better "
-            "preconditioner)",
+            f"preconditioner).{hint}",
             stacklevel=2,
         )
     q = jnp.concatenate(snaps, axis=1)
