@@ -54,6 +54,7 @@ _HI = jax.lax.Precision.HIGHEST  # see mor/estimator.py on TPU f64 matmuls
 class GreedyState(NamedTuple):
     q: jax.Array  # [N, K] padded basis
     ncols: jax.Array  # active columns
+    seeded: jax.Array  # seed snapshots taken (loop starts estimating at 2)
     it: jax.Array  # completed estimator evaluations
     err_hist: jax.Array  # [max_iters + 1, I] estimator history
     converged: jax.Array  # bool: max estimator error < threshold
@@ -177,6 +178,7 @@ def _greedy_basis_impl(
     init = GreedyState(
         q=jnp.zeros((n, k), dtype),
         ncols=jnp.asarray(0),
+        seeded=jnp.asarray(0),
         it=jnp.asarray(0),
         err_hist=jnp.zeros((max_iters + 1, i), rdtype),
         converged=jnp.asarray(False),
@@ -200,8 +202,12 @@ def _greedy_basis_impl(
     def body(s: GreedyState):
         # Seed phase: the first two body iterations take snapshots at the
         # domain endpoints without consulting the estimator (whose reduced
-        # solve would be singular on an empty basis).
-        seed_phase = s.ncols < 2 * m
+        # solve would be singular on an empty basis). Tracked by an
+        # explicit counter, not by ncols: a linearly DEPENDENT second seed
+        # (t-independent systems, symmetric sweeps) is skipped without
+        # growing the basis, and the loop must still advance to the
+        # estimator phase rather than re-taking the seed forever.
+        seed_phase = s.seeded < 2
         err = lax.cond(
             seed_phase,
             lambda q, ncols: jnp.zeros((i,), rdtype),
@@ -228,7 +234,7 @@ def _greedy_basis_impl(
         # A NaN estimate can never converge; bail out instead of burning
         # the remaining budget on garbage snapshots.
         poisoned = jnp.logical_and(~seed_phase, jnp.isnan(err_max))
-        t_seed = jnp.where(s.ncols == 0, sys.domain[0], sys.domain[-1])
+        t_seed = jnp.where(s.seeded == 0, sys.domain[0], sys.domain[-1])
         t_star = jnp.where(seed_phase, t_seed, sys.domain[jnp.argmax(err)])
 
         def solve_new(args):
@@ -281,16 +287,23 @@ def _greedy_basis_impl(
         q2, ncols2 = lax.cond(
             independent, expand, lambda args: args, (s.q, s.ncols)
         )
+        # A dependent snapshot ends the loop only in the REFINEMENT phase
+        # (stagnation, see MorfemConfig.dependency_tolerance); a dependent
+        # seed is simply skipped — the estimator phase starts regardless.
+        stagnated = jnp.logical_and(~seed_phase, ~independent)
         done = jnp.logical_or(
             s.done,
             jnp.logical_or(
                 jnp.logical_or(converged, out_of_budget),
-                jnp.logical_or(poisoned, ~independent),
+                jnp.logical_or(poisoned, stagnated),
             ),
         )
         return GreedyState(
             q=q2,
             ncols=ncols2,
+            seeded=jnp.where(
+                jnp.logical_and(seed_phase, ~s.done), s.seeded + 1, s.seeded
+            ),
             it=jnp.where(frozen, s.it, s.it + 1),
             err_hist=err_hist,
             converged=converged,

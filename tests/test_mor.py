@@ -193,6 +193,30 @@ class TestGreedy:
         q = np.asarray(res.q)[:, :nc]
         np.testing.assert_allclose(q.T @ q, np.eye(nc), atol=1e-9)
 
+    def test_dependent_second_seed_still_estimates(self):
+        """A t-independent system makes the domain-endpoint seeds
+        identical: the dependent second seed must be SKIPPED (not
+        appended, not a termination) and the estimator phase must still
+        run — on a constant system the one-seed reduced model is exact,
+        so the greedy converges with a single seed's columns."""
+        key = jax.random.PRNGKey(5)
+        n, m = 48, 2
+        g = jax.random.normal(key, (n, n), jnp.float64)
+        a0 = (g + g.T) * 0.5 + n * jnp.eye(n)  # symmetric: estimator uses
+        # the RAW operators while solves see the symmetrized matrix
+        b = jax.random.normal(jax.random.PRNGKey(6), (n, m), jnp.float64)
+        domain = jnp.linspace(1.0, 2.0, 16)
+        one = lambda t: jnp.ones_like(t)  # noqa: E731
+        zero = lambda t: jnp.zeros_like(t)  # noqa: E731
+        sys_const = AffineSystem(
+            domain, a0, jnp.zeros_like(a0), jnp.zeros_like(a0), b,
+            one, zero, zero, one,
+        )
+        res = greedy_basis(sys_const, CFG)
+        assert bool(res.converged)
+        assert int(res.ncols) == m
+        assert int(res.iterations) >= 1  # the estimator DID run
+
     def test_greedy_jits_end_to_end(self, sys_obj):
         fn = jax.jit(lambda s: greedy_basis(s, CFG))
         res = fn(sys_obj)
