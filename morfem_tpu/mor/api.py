@@ -99,7 +99,11 @@ def morfem(
         MATRIX-FREE end to end (RCM-banded direct snapshot solves, or
         BCOO+Krylov when the sparsity is not band-recoverable) — the
         reference's always-sparse splu behaviour; smaller systems are
-        densified for the batched MXU pipeline.
+        densified for the batched MXU pipeline. COMPLEX sparse operators
+        ride the interleaved real 2N embedding automatically (real
+        coefficient callables and symmetrize=False required; the
+        returned q is complex [N, Nr], x stays real reduced coords —
+        einsum("nk,ikm->inm", q, x) gives the complex solutions).
       b: [N, M] impulse-vector part.
       t_a0, t_a1, t_a2, t_b: JAX-traceable coefficient callables; defaults
         1, t, t², t.
@@ -123,6 +127,48 @@ def morfem(
         # the reference stays sparse throughout (splu,
         # implementation.py:474-476); beyond dense_cutoff so do we —
         # RCM-banded direct solves, or BCOO+Krylov as fallback
+        import numpy as np
+
+        complex_input = any(
+            np.iscomplexobj(getattr(m, "data", m)) for m in (a0, a1, a2)
+        ) or np.iscomplexobj(getattr(b, "data", b))
+        if complex_input:
+            # splu is dtype-generic (implementation.py:474-476); the
+            # TPU-native equivalent is the INTERLEAVED sparse real 2N
+            # embedding (band structure preserved, ops/complex_split.py) —
+            # the whole real matrix-free pipeline then runs unchanged and
+            # the basis deinterleaves back to complex.
+            from morfem_tpu.ops.complex_split import (
+                deinterleave,
+                embed_rhs_interleaved,
+                embed_sparse_interleaved,
+            )
+
+            if config.symmetrize:
+                raise ValueError(
+                    "complex sparse operators: the real embedding is "
+                    "non-symmetric; run with config.symmetrize=False "
+                    "(the (A+Aᵀ)/2 step would change the problem)"
+                )
+            t_probe = np.asarray(domain)[:1]
+            for name, fn in (
+                ("t_a0", t_a0), ("t_a1", t_a1), ("t_a2", t_a2), ("t_b", t_b)
+            ):
+                if np.iscomplexobj(np.asarray(fn(jnp.asarray(t_probe)))):
+                    raise ValueError(
+                        f"complex sparse operators need REAL-valued "
+                        f"coefficient callables ({name} returned complex; "
+                        "fold the phase into the operators instead)"
+                    )
+            e0, e1, e2 = (
+                embed_sparse_interleaved(m) for m in (a0, a1, a2)
+            )
+            be = embed_rhs_interleaved(b)
+            x, q_e, r0, r1, r2, b_r = _morfem_matfree(
+                domain, e0, e1, e2, be, t_a0, t_a1, t_a2, t_b, config,
+                timer,
+            )
+            return x, deinterleave(np.asarray(q_e)), r0, r1, r2, b_r
         return _morfem_matfree(
             domain, a0, a1, a2, b, t_a0, t_a1, t_a2, t_b, config, timer
         )

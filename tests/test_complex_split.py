@@ -117,3 +117,71 @@ def test_embed_real_input_allows_symmetrize():
         config=MorfemConfig(symmetrize=True),
     )
     assert sys_e.a0.shape == (2 * n, 2 * n)
+
+
+def test_complex_sparse_matfree_morfem_matches_dense_oracle():
+    """Complex SPARSE inputs past dense_cutoff auto-route through the
+    interleaved real 2N embedding (band structure preserved) and the
+    matrix-free pipeline; splu's dtype-genericity parity
+    (implementation.py:474-480)."""
+    import scipy.sparse as sp
+
+    from morfem_tpu.mor.api import morfem
+
+    rng = np.random.default_rng(7)
+    n = 600
+    # absorbing Helmholtz: complex-symmetric banded A0, A(t) = A0 − t²·I
+    half = 6
+    offs = list(range(0, half + 1))
+    diags = [(8.0 + rng.random(n)) + 1j * 0.4] + [
+        (-0.3 + 0.05j) * np.ones(n - d) for d in offs[1:]
+    ]
+    a0 = sp.diags(diags, offs).tocsr()
+    a0 = (a0 + a0.T) * 0.5  # complex symmetric (NOT hermitian)
+    a1 = sp.csr_matrix((n, n))
+    a2 = (sp.eye(n) * -1.0).tocsr()
+    b = rng.standard_normal((n, 2)) + 1j * rng.standard_normal((n, 2))
+    domain = np.linspace(0.8, 2.0, 24)
+    cfg = MorfemConfig(
+        symmetrize=False,
+        dense_cutoff=256,  # force the matrix-free route at N=600
+        use_equally_distributed=True,
+        equally_distributed_reduction_rate=0.7,
+    )
+    x, q, *_ = morfem(domain, a0, a1, a2, b, config=cfg)
+    assert np.iscomplexobj(np.asarray(q)) and q.shape[0] == n
+    rec = np.einsum("nk,ikm->inm", np.asarray(q), np.asarray(x))
+    worst = 0.0
+    for i in (0, 12, 23):
+        t = domain[i]
+        ref = np.linalg.solve(
+            a0.toarray() - t**2 * np.eye(n), t * np.asarray(b)
+        )
+        worst = max(
+            worst,
+            float(np.linalg.norm(rec[i] - ref) / np.linalg.norm(ref)),
+        )
+    assert worst < 1e-7, worst
+
+
+def test_complex_sparse_matfree_rejects_symmetrize_and_complex_coeffs():
+    import scipy.sparse as sp
+
+    from morfem_tpu.mor.api import morfem
+
+    n = 300
+    a0 = (sp.eye(n) * (3.0 + 1j)).tocsr()
+    a1 = sp.csr_matrix((n, n))
+    a2 = (sp.eye(n) * -1.0).tocsr()
+    b = np.ones((n, 1))
+    domain = np.linspace(0.5, 1.0, 4)
+    cfg = MorfemConfig(dense_cutoff=128, use_equally_distributed=True)
+    with pytest.raises(ValueError, match="symmetrize"):
+        morfem(domain, a0, a1, a2, b, config=cfg)
+    cfg2 = cfg.replace(symmetrize=False)
+    with pytest.raises(ValueError, match="REAL-valued"):
+        morfem(
+            domain, a0, a1, a2, b,
+            t_b=lambda t: 1j * t,
+            config=cfg2,
+        )
