@@ -116,9 +116,13 @@ def morfem(
     """
     timer = timer or PhaseTimer(disabled=True)
     try:
-        import scipy.sparse as sp
+        import scipy.sparse as _sp
 
-        sparse_input = any(sp.issparse(x) for x in (a0, a1, a2))
+        sp_is = _sp.issparse
+    except Exception:  # pragma: no cover - scipy is a hard dep in practice
+        sp_is = lambda _x: False  # noqa: E731
+    try:
+        sparse_input = any(sp_is(x) for x in (a0, a1, a2))
         n_in = a0.shape[0]
     except Exception:
         sparse_input = False
@@ -172,6 +176,20 @@ def morfem(
         return _morfem_matfree(
             domain, a0, a1, a2, b, t_a0, t_a1, t_a2, t_b, config, timer
         )
+    import numpy as np
+
+    dense_complex = any(
+        np.iscomplexobj(m.data if sp_is(m) else np.asarray(m))
+        for m in (a0, a1, a2, b)
+    )
+    if dense_complex and jax.default_backend() == "tpu":
+        # complex128 does not exist on TPU (even the transfer hangs the
+        # backend); run the pipeline on the real 2N embedding instead —
+        # the splu/lu_factor dtype-genericity the reference gets for free
+        # (implementation.py:468-480).
+        return _morfem_embedded_dense(
+            domain, a0, a1, a2, b, t_a0, t_a1, t_a2, t_b, config, timer
+        )
     sys = AffineSystem.create(domain, a0, a1, a2, b, t_a0, t_a1, t_a2, t_b)
     rm, _ = build_reduced_model(sys, config, timer)
     rm = rm.trim()
@@ -179,6 +197,34 @@ def morfem(
         x = _run_sweep(rm, config)
         jax.block_until_ready(x)
     return x, rm.q, rm.r0, rm.r1, rm.r2, rm.b_r
+
+
+def _morfem_embedded_dense(
+    domain, a0, a1, a2, b, t_a0, t_a1, t_a2, t_b, config, timer
+):
+    """Complex dense `morfem()` on the real 2N embedding (TPU path).
+
+    Returns a complex q [N, Nr] and REAL reduced coordinates/matrices:
+    ``einsum("nk,ikm->inm", q, x)`` gives the complex solutions (the
+    embedding commutes with real coefficient combinations — see
+    ops/complex_split.py; symmetrize must be off, enforced there).
+    """
+    import numpy as np
+
+    from morfem_tpu.ops.complex_split import embed_affine_system
+
+    sys_e = embed_affine_system(
+        domain, a0, a1, a2, b, t_a0, t_a1, t_a2, t_b, config=config
+    )
+    rm, _ = build_reduced_model(sys_e, config, timer)
+    rm = rm.trim()
+    with timer.phase("reduced sweep"):
+        x = _run_sweep(rm, config)
+        jax.block_until_ready(x)
+    n = a0.shape[0]
+    q_e = np.asarray(rm.q)
+    q_c = q_e[:n] + 1j * q_e[n:]
+    return x, q_c, rm.r0, rm.r1, rm.r2, rm.b_r
 
 
 def _morfem_matfree(

@@ -185,3 +185,43 @@ def test_complex_sparse_matfree_rejects_symmetrize_and_complex_coeffs():
             t_b=lambda t: 1j * t,
             config=cfg2,
         )
+
+
+def test_complex_dense_embedded_morfem_matches_native_complex():
+    """The TPU routing for complex DENSE inputs (`_morfem_embedded_dense`,
+    auto-taken when backend == 'tpu') must reproduce the native complex
+    pipeline's solutions; exercised directly here since tests run on CPU."""
+    from morfem_tpu.mor.api import _morfem_embedded_dense, morfem
+    from morfem_tpu.utils.timing import PhaseTimer
+
+    rng = np.random.default_rng(9)
+    n = 96
+    g = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    a0 = (g + g.T) * 0.5 + (6.0 + 1.5j) * np.eye(n)
+    a1 = np.zeros((n, n))
+    a2 = -np.eye(n, dtype=complex)
+    b = rng.standard_normal((n, 2)) + 1j * rng.standard_normal((n, 2))
+    domain = np.linspace(0.8, 1.6, 16)
+    cfg = MorfemConfig(
+        symmetrize=False, error_threshold=1e-10,
+        use_equally_distributed=True,
+        equally_distributed_reduction_rate=0.5,
+    )
+    from morfem_tpu.system import _default_t_a0, _default_t_a1
+    from morfem_tpu.system import _default_t_a2, _default_t_b
+
+    x_e, q_e, *_ = _morfem_embedded_dense(
+        domain, a0, a1, a2, b,
+        _default_t_a0, _default_t_a1, _default_t_a2, _default_t_b,
+        cfg, PhaseTimer(disabled=True),
+    )
+    rec_e = np.einsum("nk,ikm->inm", np.asarray(q_e), np.asarray(x_e))
+    worst = 0.0
+    for i in (0, 8, 15):
+        t = domain[i]
+        ref = np.linalg.solve(a0 - t**2 * np.eye(n), t * b)
+        worst = max(
+            worst,
+            float(np.linalg.norm(rec_e[i] - ref) / np.linalg.norm(ref)),
+        )
+    assert worst < 1e-8, worst
