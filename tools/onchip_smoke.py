@@ -15,6 +15,8 @@ Covered:
     factor+refined-solve round trip (ops/panel_lu.py)
   * ops/pallas/banded_matvec.py  — banded matvec via block_tridiag's
     banded direct solve
+  * ops/block_sparse.py          — BSR scalar-prefetch kernel vs the
+    XLA block path and a dense oracle
 """
 
 from __future__ import annotations
@@ -115,6 +117,36 @@ def main() -> None:
     a_dense = (a_dense + a_dense.T) / 2
     err = np.linalg.norm(a_dense @ np.asarray(x) - rhs) / np.linalg.norm(rhs)
     check("banded direct (block-Thomas + matvec kernel)", err, 1e-11)
+
+    # --- block-sparse (BSR) kernel vs dense oracle ---
+    from morfem_tpu.ops.block_sparse import BlockSparseAffineOperator
+
+    ns = 700
+    offs2 = list(range(0, 9))
+    d2 = [6.0 + rng.random(ns)] + [
+        -0.2 * np.ones(ns - d) for d in offs2[1:]
+    ]
+    s0 = sp.diags(d2, offs2).tocsr()
+    s0 = (s0 + s0.T) * 0.5
+    far = sp.coo_matrix(
+        (0.05 * rng.standard_normal(80),
+         (rng.integers(0, ns, 80), rng.integers(0, ns, 80))),
+        shape=(ns, ns),
+    )
+    s0 = (s0 + far + far.T).tocsr()
+    s1 = sp.csr_matrix((ns, ns))
+    s2 = sp.eye(ns).tocsr()
+    op = BlockSparseAffineOperator(s0, s1, s2, symmetrize=False)
+    cb = jnp.asarray([1.0, 0.0, -1.5])
+    xv = jnp.asarray(rng.standard_normal((ns, 2)))
+    dense = s0.toarray() - 1.5 * np.eye(ns)
+    ref = dense @ np.asarray(xv)
+    y_xla = np.asarray(op.bind_precise(cb)(xv))
+    err = np.linalg.norm(y_xla - ref) / np.linalg.norm(ref)
+    check("block-sparse XLA path (f64)", err, 1e-12)
+    y_pal = np.asarray(op.bind(cb)(xv))
+    err = np.linalg.norm(y_pal - ref) / np.linalg.norm(ref)
+    check("block-sparse Pallas kernel (f32)", err, 1e-5)
 
     print(f"on-chip smoke OK ({time.time() - t_start:.0f}s)")
 
