@@ -134,3 +134,32 @@ def test_morfem_routes_general_sparse_end_to_end():
     rec = jnp.einsum("nk,ikm->inm", q, x)
     rel = float(jnp.linalg.norm(rec - x_full) / jnp.linalg.norm(x_full))
     assert rel < 1e-6
+
+
+def test_greedy_matfree_over_general_sparse_operator():
+    """The GREEDY strategy on the general-sparse route: snapshot solves
+    dispatch through solve_point_iterative(method='auto') to the
+    shifted-preconditioned GMRES, estimator applies through the
+    (block-sparse or BCOO) exact operator."""
+    import morfem_tpu as mt
+
+    c, a1, a2 = _longrange_indefinite(n=320)
+    n = c.shape[0]
+    rng = np.random.default_rng(6)
+    b = np.zeros((n, 2))
+    b[rng.choice(n, 8, replace=False), 0] = 1.0
+    b[rng.choice(n, 8, replace=False), 1] = 1.0
+    domain = np.linspace(0.4, 0.8, 12)
+    cfg = MorfemConfig(
+        dense_cutoff=64,
+        band_max_half=48,
+        error_threshold=1e-11,
+    )
+    x, q, *_ = mt.morfem(domain, c, a1, a2, b, config=cfg)
+    sys_ = mt.AffineSystem.create(
+        domain, c.toarray(), a1.toarray(), a2.toarray(), b
+    )
+    x_full = mt.solve_sweep(sys_, mt.MorfemConfig())
+    rec = jnp.einsum("nk,ikm->inm", q, x)
+    rel = float(jnp.linalg.norm(rec - x_full) / jnp.linalg.norm(x_full))
+    assert rel < 1e-6
