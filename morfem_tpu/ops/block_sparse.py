@@ -223,6 +223,13 @@ class BlockSparseAffineOperator:
             m if sp.issparse(m) else sp.csr_matrix(np.asarray(m))
             for m in (a0, a1, a2)
         ]
+        if any(np.iscomplexobj(m.data) for m in mats):
+            raise ValueError(
+                "BlockSparseAffineOperator stores real blocks; lift "
+                "complex operators through the interleaved real embedding "
+                "first (ops/complex_split.embed_sparse_interleaved — "
+                "morfem() does this automatically)"
+            )
         if symmetrize:
             mats = [(m + m.T) * 0.5 for m in mats]
         n = mats[0].shape[0]

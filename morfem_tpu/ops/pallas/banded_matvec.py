@@ -208,6 +208,16 @@ class BandedAffineOperator:
             return a
 
         mats = [prep(a) for a in (a0, a1, a2)]
+        if any(
+            np.iscomplexobj(m.data if sp.issparse(m) else np.asarray(m))
+            for m in mats
+        ):
+            raise ValueError(
+                "BandedAffineOperator stores real bands; lift complex "
+                "operators through the interleaved real embedding first "
+                "(ops/complex_split.embed_sparse_interleaved — morfem() "
+                "does this automatically)"
+            )
         halves = []
         bands = []
         for a in mats:
