@@ -225,3 +225,41 @@ def test_complex_dense_embedded_morfem_matches_native_complex():
             float(np.linalg.norm(rec_e[i] - ref) / np.linalg.norm(ref)),
         )
     assert worst < 1e-8, worst
+
+
+def test_complex_sparse_greedy_matfree():
+    """GREEDY strategy over a complex sparse pencil: the interleaved
+    embedding yields a NON-symmetric real banded pencil — the banded
+    direct snapshot path and the matrix-free estimator must handle it."""
+    import scipy.sparse as sp
+
+    from morfem_tpu.mor.api import morfem
+
+    rng = np.random.default_rng(7)
+    n = 400
+    half = 5
+    offs = list(range(0, half + 1))
+    diags = [(8.0 + rng.random(n)) + 1j * 0.4] + [
+        (-0.3 + 0.05j) * np.ones(n - d) for d in offs[1:]
+    ]
+    a0 = sp.diags(diags, offs).tocsr()
+    a0 = (a0 + a0.T) * 0.5
+    a1 = sp.csr_matrix((n, n))
+    a2 = (sp.eye(n) * -1.0).tocsr()
+    b = rng.standard_normal((n, 2)) + 1j * rng.standard_normal((n, 2))
+    domain = np.linspace(0.8, 2.0, 16)
+    cfg = MorfemConfig(
+        symmetrize=False, dense_cutoff=128, error_threshold=1e-11
+    )
+    x, q, *_ = morfem(domain, a0, a1, a2, b, config=cfg)
+    rec = np.einsum("nk,ikm->inm", np.asarray(q), np.asarray(x))
+    worst = 0.0
+    for i in (0, 8, 15):
+        t = domain[i]
+        ref = np.linalg.solve(
+            a0.toarray() - t**2 * np.eye(n), t * np.asarray(b)
+        )
+        worst = max(
+            worst, float(np.linalg.norm(rec[i] - ref) / np.linalg.norm(ref))
+        )
+    assert worst < 1e-8, worst
