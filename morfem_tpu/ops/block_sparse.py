@@ -136,11 +136,16 @@ def _bsr_kernel(brows_ref, bcols_ref, vals_ref, x_ref, y_ref):
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
+    # HIGHEST: TPU f32 dot_general defaults to ONE bf16 MXU pass (~2e-3
+    # rel error) — too coarse even for an f32 Krylov operator. These are
+    # tiny [BR, BC] blocks; the multi-pass cost is noise next to the HBM
+    # traffic.
     y_ref[:] += jax.lax.dot_general(
         vals_ref[:],
         x_ref[:],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
