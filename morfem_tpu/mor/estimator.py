@@ -238,7 +238,13 @@ def estimate_errors_direct(
         # max), so the result is safe over emulated-f64's whole range
         return jnp.square(s[:, 0, 0].real * jnp.sqrt(norm_n))
 
-    err = jax.lax.map(chunk_err, (c_ch, cb_ch, x_ch))
+    if c_ch.shape[0] == 1:
+        # common case (I ≤ estimator_chunk): keep the loop construct out
+        # of the graph — one less while-loop for XLA to schedule inside
+        # the greedy's compiled body
+        err = chunk_err((c_ch[0], cb_ch[0], x_ch[0]))[None]
+    else:
+        err = jax.lax.map(chunk_err, (c_ch, cb_ch, x_ch))
     err = err.reshape(-1)[:i_pts]
     return err, x
 
