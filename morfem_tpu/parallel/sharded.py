@@ -150,6 +150,55 @@ def sharded_spectral_sweep(
     return run(sm, ts)[:i_pts]
 
 
+def sharded_full_order_sweep(
+    sys,
+    mesh: Mesh,
+    config: MorfemConfig = DEFAULT_CONFIG,
+    axis: str = "sp",
+) -> jax.Array:
+    """FULL-ORDER sweep with the frequency axis sharded across the mesh.
+
+    The no-MOR baseline (`ops/solve.py::solve_sweep`,
+    reference implementation.py:189-194) scaled to multiple chips: each
+    device assembles and factorizes its slice of the domain's N×N
+    systems — the operators are replicated (read-only) and the points
+    are independent, so the sweep is embarrassingly parallel and the
+    wall time divides by the ``axis`` size. Non-divisible grids are
+    padded with the last point and trimmed afterwards.
+
+    Memory note: each device holds `solve_chunk` N×N factorizations at a
+    time, same as the unsharded sweep; replicating the three operators
+    costs 3·N² per device (the snapshots themselves dominate at the
+    scales where this path applies).
+    """
+    from morfem_tpu.ops.solve import solve_sweep
+
+    sp = mesh.shape[axis]
+    i_pts = sys.num_points
+    pad = (-i_pts) % sp
+    dom = sys.domain
+    if pad:
+        dom = jnp.concatenate([dom, jnp.broadcast_to(dom[-1:], (pad,))])
+
+    # explicit shard_map (not sharding constraints): each device runs the
+    # whole chunked sweep on its local domain slice — the partitioning
+    # does not depend on GSPMD propagating through the sweep's internal
+    # reshape/lax.map. The system's operators ride in as replicated
+    # closure constants.
+    def local(dom_local):
+        return solve_sweep(sys.with_domain(dom_local), config)
+
+    run = jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=P(axis),
+            out_specs=P(axis, None, None),
+        )
+    )
+    return run(dom)[:i_pts]
+
+
 # ---------------------------------------------------------------------------
 # dp: multi-geometry MOR batches
 # ---------------------------------------------------------------------------

@@ -91,6 +91,25 @@ def test_sharded_sweep_nondivisible_grid(eight_devices):
     )
 
 
+def test_sharded_full_order_sweep_matches_local(eight_devices):
+    """The no-MOR baseline sharded over sp: each device factors its
+    domain slice; result matches the single-device sweep (incl. a
+    non-divisible 42-point grid on sp=8)."""
+    from morfem_tpu import solve_sweep
+    from morfem_tpu.parallel.sharded import sharded_full_order_sweep
+
+    mesh = make_mesh(dp=1, sp=8, tp=1)
+    key = jax.random.PRNGKey(13)
+    domain, a0, a1, a2, b = random_affine_system(key, n=40, m=2, num_points=42)
+    sys = AffineSystem.create(domain, a0, a1, a2, b)
+    x_local = solve_sweep(sys, CFG)
+    x_sharded = sharded_full_order_sweep(sys, mesh, CFG)
+    assert x_sharded.shape == x_local.shape
+    np.testing.assert_allclose(
+        np.asarray(x_sharded), np.asarray(x_local), rtol=1e-10, atol=1e-13
+    )
+
+
 def test_sharded_spectral_sweep_nondivisible_grid(eight_devices):
     from morfem_tpu.mor.spectral import prepare_spectral_quadratic
     from morfem_tpu.parallel.sharded import sharded_spectral_sweep
