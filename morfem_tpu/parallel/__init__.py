@@ -5,6 +5,8 @@ from morfem_tpu.parallel.sharded import (
     batch_systems,
     multi_geometry_greedy,
     multi_geometry_mor,
+    sharded_full_order_sweep,
+    sharded_spectral_sweep,
     sharded_sweep,
     tp_operator_images_and_project,
 )
@@ -16,6 +18,8 @@ __all__ = [
     "batch_systems",
     "multi_geometry_greedy",
     "multi_geometry_mor",
+    "sharded_full_order_sweep",
+    "sharded_spectral_sweep",
     "sharded_sweep",
     "tp_operator_images_and_project",
     "tp_matvec_fn",
