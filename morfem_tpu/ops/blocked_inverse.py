@@ -47,13 +47,20 @@ from jax import lax
 from morfem_tpu.ops.precision import matmul_f32_accurate
 
 
-def _gj_inverse_single(a32: jax.Array, panel: int, sub: int) -> jax.Array:
-    """Inverse of one padded f32 matrix ([n, n], n a multiple of `panel`)."""
-    n = a32.shape[-1]
-    nsub = panel // sub
-    npanels = n // panel
+def gj_panel_factor(
+    pb: jax.Array, avail: jax.Array, sub: int
+) -> tuple:
+    """Factor ONE [n, panel] column panel of the Gauss-Jordan elimination.
 
-    row_iota = lax.iota(jnp.int32, n)
+    Returns (cp, pivpanel, avail): the composed elimination coefficients
+    of the panel's columns (G_panel = I + cp·E), the pivot row chosen per
+    column, and the updated availability mask. Shared by the single-chip
+    inverse below and the tensor-parallel one
+    (parallel/tp_dense.py) — the distributed version runs this on the
+    panel owner and broadcasts (cp, pivpanel).
+    """
+    n, panel = pb.shape
+    nsub = panel // sub
     sub_iota = lax.iota(jnp.int32, sub)
     panel_iota = lax.iota(jnp.int32, panel)
 
@@ -80,8 +87,11 @@ def _gj_inverse_single(a32: jax.Array, panel: int, sub: int) -> jax.Array:
     def sub_step(s, carry):
         pb, cp, avail, pivpanel = carry
         blk = lax.dynamic_slice(pb, (0, s * sub), (n, sub))
-        cs0 = jnp.zeros((n, sub), jnp.float32)
-        piv0 = jnp.zeros((sub,), jnp.int32)
+        # inits DERIVED from blk (not fresh zeros): under shard_map the
+        # loop outputs are varying over the mesh axis, and a fori_loop
+        # carry may not mix unvarying inits with varying outputs
+        cs0 = blk * 0.0
+        piv0 = (blk[0] * 0.0).astype(jnp.int32)
         _, cs, avail, pivlocal = lax.fori_loop(
             0, sub, column_step, (blk, cs0, avail, piv0)
         )
@@ -95,15 +105,25 @@ def _gj_inverse_single(a32: jax.Array, panel: int, sub: int) -> jax.Array:
         pivpanel = lax.dynamic_update_slice(pivpanel, pivlocal, (s * sub,))
         return pb, cp, avail, pivpanel
 
+    cp0 = pb * 0.0  # derived init — see sub_step
+    pivpanel0 = (pb[0] * 0.0).astype(jnp.int32)
+    _, cp_out, avail_out, pivpanel_out = lax.fori_loop(
+        0, nsub, sub_step, (pb, cp0, avail, pivpanel0)
+    )
+    return cp_out, pivpanel_out, avail_out
+
+
+def _gj_inverse_single(a32: jax.Array, panel: int, sub: int) -> jax.Array:
+    """Inverse of one padded f32 matrix ([n, n], n a multiple of `panel`)."""
+    n = a32.shape[-1]
+    npanels = n // panel
+    row_iota = lax.iota(jnp.int32, n)
+
     def panel_step(k, carry):
         m, avail, pivrows = carry
         j0 = k * panel
         pb = lax.dynamic_slice(m, (0, j0), (n, panel))
-        cp0 = jnp.zeros((n, panel), jnp.float32)
-        pivpanel0 = jnp.zeros((panel,), jnp.int32)
-        _, cp, avail, pivpanel = lax.fori_loop(
-            0, nsub, sub_step, (pb, cp0, avail, pivpanel0)
-        )
+        cp, pivpanel, avail = gj_panel_factor(pb, avail, sub)
         rows_m = jnp.take(m, pivpanel, axis=0)  # [panel, n]
         m = m + matmul_f32_accurate(cp, rows_m)
         m = lax.dynamic_update_slice(m, cp, (0, j0))

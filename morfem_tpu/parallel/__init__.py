@@ -10,6 +10,11 @@ from morfem_tpu.parallel.sharded import (
     sharded_sweep,
     tp_operator_images_and_project,
 )
+from morfem_tpu.parallel.tp_dense import (
+    tp_gj_apply,
+    tp_gj_factor,
+    tp_solve_dense,
+)
 from morfem_tpu.parallel.tp_solve import tp_matvec_fn, tp_snapshot_basis, tp_solve
 
 __all__ = [
@@ -22,7 +27,10 @@ __all__ = [
     "sharded_spectral_sweep",
     "sharded_sweep",
     "tp_operator_images_and_project",
+    "tp_gj_apply",
+    "tp_gj_factor",
     "tp_matvec_fn",
     "tp_snapshot_basis",
     "tp_solve",
+    "tp_solve_dense",
 ]
