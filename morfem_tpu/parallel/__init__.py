@@ -14,6 +14,7 @@ from morfem_tpu.parallel.tp_dense import (
     tp_gj_apply,
     tp_gj_factor,
     tp_solve_dense,
+    tp_solve_dense_compiled,
 )
 from morfem_tpu.parallel.tp_solve import tp_matvec_fn, tp_snapshot_basis, tp_solve
 
@@ -33,4 +34,5 @@ __all__ = [
     "tp_snapshot_basis",
     "tp_solve",
     "tp_solve_dense",
+    "tp_solve_dense_compiled",
 ]

@@ -103,67 +103,63 @@ def tp_gj_factor(
         [d, jnp.ones((np_ - n0,), d.dtype)]
     ).astype(work_dtype)
 
-    shard_w = np_ // tp
-    panels_per_shard = shard_w // panel
-    npanels = np_ // panel
-
-    def factor_local(m_local):
-        # m_local: [np_, shard_w] — this device's column shard
-        my = lax.axis_index(axis)
-
-        def panel_step(k, carry):
-            m_l, avail, pivrows = carry
-            owner = k // panels_per_shard
-            local_k = k % panels_per_shard
-            pb = lax.dynamic_slice(
-                m_l, (0, local_k * panel), (np_, panel)
-            )
-            # every device factors ITS slice at this local offset; only
-            # the owner's result survives the masked psum broadcast.
-            # avail is replicated state — cast it varying for the
-            # device-local panel factorization (whose pivot choices
-            # differ per device until the broadcast selects the owner's)
-            avail_v = lax.pcast(avail, (axis,), to="varying")
-            cp_mine, piv_mine, _ = gj_panel_factor(pb, avail_v, sub)
-            # select-with-where, NOT multiply-by-mask: a non-owner's
-            # panel can hit a zero pivot (NaN coefficients), and
-            # NaN * 0 = NaN would poison the psum broadcast
-            is_owner = my == owner
-            cp = lax.psum(
-                jnp.where(is_owner, cp_mine, 0.0), axis
-            )
-            pivpanel = lax.psum(
-                jnp.where(is_owner, piv_mine, 0), axis
-            )
-            # rank-`panel` update of the local columns
-            rows_m = jnp.take(m_l, pivpanel, axis=0)  # [panel, shard_w]
-            m_l = m_l + matmul_f32_accurate(cp, rows_m)
-            # the owner overwrites its panel columns with cp
-            upd = lax.dynamic_update_slice(
-                m_l, cp, (0, local_k * panel)
-            )
-            m_l = jnp.where(my == owner, upd, m_l)
-            avail = avail.at[pivpanel].set(False)
-            pivrows = lax.dynamic_update_slice(
-                pivrows, pivpanel, (k * panel,)
-            )
-            return m_l, avail, pivrows
-
-        avail0 = jnp.ones((np_,), bool)
-        piv0 = jnp.zeros((np_,), jnp.int32)
-        m_l, _, pivrows = lax.fori_loop(
-            0, npanels, panel_step, (m_local, avail0, piv0)
-        )
-        return m_l, pivrows
-
     fn = shard_map(
-        factor_local,
+        lambda m: _factor_local(m, axis, panel, sub),
         mesh=mesh,
         in_specs=P(None, axis),
         out_specs=(P(None, axis), P()),
     )
     c, pivrows = jax.jit(fn)(a_eq)
     return TpGjFactor(c=c, pivrows=pivrows, d=d_p, n=n0)
+
+
+def _factor_local(m_local, axis: str, panel: int, sub: int):
+    """Per-device body of the distributed factorization (see module doc).
+
+    m_local: [Np, Np/tp] f32 — this device's equilibrated column shard.
+    Returns (c_local, pivrows) with pivrows replicated.
+    """
+    np_, shard_w = m_local.shape
+    panels_per_shard = shard_w // panel
+    npanels = np_ // panel
+    my = lax.axis_index(axis)
+
+    def panel_step(k, carry):
+        m_l, avail, pivrows = carry
+        owner = k // panels_per_shard
+        local_k = k % panels_per_shard
+        pb = lax.dynamic_slice(m_l, (0, local_k * panel), (np_, panel))
+        # every device factors ITS slice at this local offset; only
+        # the owner's result survives the masked psum broadcast.
+        # avail is replicated state — cast it varying for the
+        # device-local panel factorization (whose pivot choices
+        # differ per device until the broadcast selects the owner's)
+        avail_v = lax.pcast(avail, (axis,), to="varying")
+        cp_mine, piv_mine, _ = gj_panel_factor(pb, avail_v, sub)
+        # select-with-where, NOT multiply-by-mask: a non-owner's
+        # panel can hit a zero pivot (NaN coefficients), and
+        # NaN * 0 = NaN would poison the psum broadcast
+        is_owner = my == owner
+        cp = lax.psum(jnp.where(is_owner, cp_mine, 0.0), axis)
+        pivpanel = lax.psum(jnp.where(is_owner, piv_mine, 0), axis)
+        # rank-`panel` update of the local columns
+        rows_m = jnp.take(m_l, pivpanel, axis=0)  # [panel, shard_w]
+        m_l = m_l + matmul_f32_accurate(cp, rows_m)
+        # the owner overwrites its panel columns with cp
+        upd = lax.dynamic_update_slice(m_l, cp, (0, local_k * panel))
+        m_l = jnp.where(my == owner, upd, m_l)
+        avail = avail.at[pivpanel].set(False)
+        pivrows = lax.dynamic_update_slice(
+            pivrows, pivpanel, (k * panel,)
+        )
+        return m_l, avail, pivrows
+
+    avail0 = jnp.ones((np_,), bool)
+    piv0 = jnp.zeros((np_,), jnp.int32)
+    m_l, _, pivrows = lax.fori_loop(
+        0, npanels, panel_step, (m_local, avail0, piv0)
+    )
+    return m_l, pivrows
 
 
 def tp_gj_apply(
@@ -262,3 +258,116 @@ def tp_solve_dense(
         r = b - mv(a, x)
         r_norm = jnp.linalg.norm(r)
     return x
+
+
+def tp_solve_dense_compiled(
+    a: jax.Array,
+    b: jax.Array,
+    mesh: Mesh,
+    axis: str = "tp",
+    panel: int = 128,
+    sub: int = 8,
+    refine_iterations: int = 25,
+) -> jax.Array:
+    """One-shot distributed dense solve as ONE compiled program.
+
+    Unlike `tp_solve_dense` (factor once, host-driven refinement — the
+    right shape when one factorization serves many right-hand sides),
+    this fuses equilibration, factorization, apply and the adaptive f64
+    refinement `lax.while_loop` into a single jitted shard_map: zero
+    host round-trips after dispatch, which matters when the host↔device
+    link carries ~30 ms latency (the axon tunnel). Real f64 systems
+    only.
+    """
+    tp = mesh.shape[axis]
+    n0 = a.shape[-1]
+    if a.shape[-2] != n0:
+        raise ValueError(f"square matrix required, got {a.shape}")
+    if jnp.issubdtype(a.dtype, jnp.complexfloating):
+        raise ValueError(
+            "tp_solve_dense_compiled is real-only; lift complex "
+            "operators through the real embedding first "
+            "(ops/complex_split)"
+        )
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    step = panel * tp
+    np_ = ((n0 + step - 1) // step) * step
+    work = jnp.result_type(a.dtype, b.dtype)
+
+    def local(a_loc, b_p):
+        # a_loc [np_, np_/tp] working dtype; b_p [np_, M] replicated
+        my = lax.axis_index(axis)
+        shard_w = a_loc.shape[1]
+        # global row maxima for equilibration: local row max + pmax
+        d_loc = jnp.max(jnp.abs(a_loc), axis=1)
+        d = lax.pmax(d_loc, axis)
+        d = jnp.where(d == 0, jnp.ones((), d.dtype), d)
+        a_eq32 = (a_loc / d[:, None]).astype(jnp.float32)
+        c_loc, pivrows = _factor_local(a_eq32, axis, panel, sub)
+
+        def apply_inv(r):
+            # x ← B⁻¹·(r/d) = A⁻¹·r on the replicated [np_, M] residual
+            r_eq = (r / d[:, None]).astype(jnp.float32)
+            z = jnp.take(r_eq, pivrows, axis=0)
+            z_loc = lax.dynamic_slice(
+                z, (my * shard_w, jnp.zeros((), my.dtype)),
+                (shard_w, z.shape[1]),
+            )
+            y = r_eq + lax.psum(matmul_f32_accurate(c_loc, z_loc), axis)
+            return jnp.take(y, pivrows, axis=0).astype(work)
+
+        def matvec(x):
+            x_loc = lax.dynamic_slice(
+                x, (my * shard_w, jnp.zeros((), my.dtype)),
+                (shard_w, x.shape[1]),
+            )
+            return lax.psum(
+                jnp.matmul(
+                    a_loc, x_loc, precision=jax.lax.Precision.HIGHEST
+                ),
+                axis,
+            )
+
+        x0 = apply_inv(b_p)
+        if refine_iterations <= 0 or jnp.finfo(work).bits <= 32:
+            return x0
+        tol = 10 * jnp.finfo(work).eps * jnp.linalg.norm(b_p)
+
+        def cond_fn(state):
+            _, _, r_norm, r_prev, it = state
+            improving = r_norm < 0.95 * r_prev
+            return jnp.logical_and(
+                jnp.logical_and(r_norm > tol, improving),
+                it < refine_iterations,
+            )
+
+        def body_fn(state):
+            x, r, r_norm, _, it = state
+            x = x + apply_inv(r)
+            r_new = b_p - matvec(x)
+            return (x, r_new, jnp.linalg.norm(r_new), r_norm, it + 1)
+
+        r0 = b_p - matvec(x0)
+        state = (
+            x0, r0, jnp.linalg.norm(r0),
+            jnp.asarray(jnp.inf, x0.real.dtype), jnp.asarray(0),
+        )
+        x, _, _, _, _ = lax.while_loop(cond_fn, body_fn, state)
+        return x
+
+    @jax.jit
+    def run(a, b):
+        a_p = _pad_to(a, np_)
+        b_p = jnp.zeros((np_, b.shape[1]), work).at[:n0].set(b)
+        fn = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(None, axis), P()),
+            out_specs=P(),
+        )
+        return fn(a_p, b_p)[:n0]
+
+    x = run(a.astype(work), b.astype(work))
+    return x[:, 0] if squeeze else x

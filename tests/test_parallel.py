@@ -375,3 +375,22 @@ def test_tp_dense_matches_single_chip_gj(eight_devices):
     x_sc = ainv @ b
     rel = np.linalg.norm(x_tp - x_sc) / np.linalg.norm(x_sc)
     assert rel < 1e-5, rel
+
+
+def test_tp_dense_compiled_solve(eight_devices):
+    """The single-program variant (factor + apply + while_loop refinement
+    inside one shard_map) matches numpy to working precision."""
+    from morfem_tpu.parallel.tp_dense import tp_solve_dense_compiled
+
+    mesh = make_mesh(dp=1, sp=1, tp=8)
+    rng = np.random.default_rng(23)
+    n = 200
+    a = rng.standard_normal((n, n)) + n * np.eye(n)
+    a[5] *= 1e5
+    b = rng.standard_normal((n, 2))
+    x = tp_solve_dense_compiled(
+        jnp.asarray(a), jnp.asarray(b), mesh, panel=16, sub=8
+    )
+    ref = np.linalg.solve(a, b)
+    rel = np.linalg.norm(np.asarray(x) - ref) / np.linalg.norm(ref)
+    assert rel < 1e-12, rel
