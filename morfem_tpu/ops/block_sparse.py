@@ -29,7 +29,6 @@ Two application paths:
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
