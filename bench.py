@@ -63,7 +63,46 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _probe_device(timeout_s: int = 240) -> bool:
+    """Check the device backend responds, in a SUBPROCESS with a timeout.
+
+    The axon TPU tunnel can die in a mode where ``jax.devices()`` blocks
+    forever (observed 2026-08-17: >6 h outage, no local relay listener,
+    even interpreter start can hang in the plugin's sitecustomize). A
+    bench that hangs is indistinguishable from a bench that is slow —
+    probe first and fail fast with a self-describing artifact instead.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_device():
+        log("DEVICE PROBE FAILED: jax.devices() unresponsive (tunnel down?)")
+        print(
+            json.dumps(
+                {
+                    "metric": "reduced_sweep_speedup_vs_full_order",
+                    "value": 0.0,
+                    "unit": "x",
+                    "vs_baseline": 0.0,
+                    "error": "device backend unreachable: jax.devices() "
+                    "did not respond within 240 s (axon TPU tunnel down); "
+                    "no measurements taken",
+                }
+            ),
+            flush=True,
+        )
+        return
     log(f"device: {jax.devices()[0]}")
     data = load_waveguide_data(
         n_fallback=N_DOF,
