@@ -179,10 +179,13 @@ def _refine_adaptive(
         return (x, r_new, jnp.linalg.norm(r_new), r_norm, it + 1)
 
     r0 = b_w - residual_mm(x0)
-    state = (
-        x0, r0, jnp.linalg.norm(r0), jnp.asarray(jnp.inf, rdtype),
-        jnp.asarray(0),
-    )
+    r0n = jnp.linalg.norm(r0)
+    # the ∞ init DERIVES from r0n (not a fresh constant): under shard_map
+    # (the sp-sharded full-order sweep) the loop outputs are varying over
+    # the mesh axis and a while_loop carry may not mix unvarying inits
+    # with varying outputs
+    inf0 = r0n * 0 + jnp.asarray(jnp.inf, rdtype)
+    state = (x0, r0, r0n, inf0, jnp.asarray(0))
     x, _, _, _, _ = lax.while_loop(cond_fn, body_fn, state)
     return x
 

@@ -102,8 +102,11 @@ def test_sharded_full_order_sweep_matches_local(eight_devices):
     key = jax.random.PRNGKey(13)
     domain, a0, a1, a2, b = random_affine_system(key, n=40, m=2, num_points=42)
     sys = AffineSystem.create(domain, a0, a1, a2, b)
-    x_local = solve_sweep(sys, CFG)
-    x_sharded = sharded_full_order_sweep(sys, mesh, CFG)
+    # refinement ON: its while_loop must trace under shard_map (the
+    # varying-carry regression the dryrun caught)
+    cfg = MorfemConfig(factor_dtype_name="float32", refine_iterations=3)
+    x_local = solve_sweep(sys, cfg)
+    x_sharded = sharded_full_order_sweep(sys, mesh, cfg)
     assert x_sharded.shape == x_local.shape
     np.testing.assert_allclose(
         np.asarray(x_sharded), np.asarray(x_local), rtol=1e-10, atol=1e-13
