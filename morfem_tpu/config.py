@@ -18,8 +18,13 @@ class MorfemConfig:
     """All tunables of the MOR pipeline. Hashable → usable as a static jit arg.
 
     Attributes:
-      error_threshold: greedy convergence threshold on the max residual-norm
-        estimate over the domain (reference: implementation.py:12).
+      error_threshold: greedy convergence threshold on the max error
+        estimate over the domain (reference: implementation.py:12). NOTE
+        the estimate is ‖R(t)ᴴR(t)‖_F — QUADRATIC in the residual R, the
+        reference's exact semantics (implementation.py:424) — so a
+        threshold of 1e-10 admits residuals around 1e-5 relative to the
+        problem scale; pick the threshold for the square of the residual
+        level you want.
       factorization: direct-solver backend for full-order N×N solves.
         "lu" — XLA's LU factorization (the reference's splu/lu_factor
         analogue, implementation.py:468-480). "gj" — blocked MXU

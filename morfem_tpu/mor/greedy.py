@@ -278,7 +278,15 @@ def _greedy_basis_impl(
                 # (implementation.py:296-298)
                 q2 = lax.dynamic_update_slice(q, x_new, (0, ncols))
                 q2 = orthonormalize_svd_masked(q2, ncols + m)
-                return q2, ncols + m
+                # count the columns the SVD actually produced: when the
+                # snapshot is partially dependent (or the basis saturates
+                # at ncols = N), trailing columns come back exactly zero —
+                # counting them active makes the reduced system singular
+                # (NaN sweeps). Orthonormal columns have unit norm, so a
+                # 0.5 threshold on ‖column‖² is exact.
+                colsq = jnp.sum(jnp.abs(q2) ** 2, axis=0)
+                rank = jnp.sum((colsq > 0.5).astype(ncols.dtype))
+                return q2, rank
             else:
                 # reference USE_OPM path: Gram-Schmidt against the base
                 # (implementation.py:275-295), done as CGS2

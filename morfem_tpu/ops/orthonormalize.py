@@ -125,6 +125,7 @@ def orthonormalize_append_cgs2(
     def add_one(carry, j):
         q, nc = carry
         v = new[:, j]
+        v0_norm = jnp.linalg.norm(v)
         mask = column_mask(k, nc, q.dtype)
 
         def project_out(v):
@@ -133,12 +134,19 @@ def orthonormalize_append_cgs2(
 
         v = project_out(project_out(v))
         norm = jnp.linalg.norm(v)
-        # Guard against a zero (linearly dependent) column: keep it zero
-        # rather than dividing by ~0. Masked later by ncols accounting.
-        safe = norm > jnp.asarray(0.0, norm.dtype)
-        v = jnp.where(safe, v / jnp.where(safe, norm, 1.0), jnp.zeros_like(v))
-        q = q.at[:, nc].set(v, mode="drop")
-        return (q, nc + 1), None
+        # A (numerically) dependent column is SKIPPED — not written, and
+        # nc does not advance. Counting it as active used to leave an
+        # exactly-zero column under the ncols mask, which makes every
+        # projected reduced system singular (NaN sweeps); observed when a
+        # snapshot's columns are partially dependent on the basis, e.g.
+        # basis saturation at ncols = N.
+        safe = norm > jnp.maximum(
+            1e-14 * v0_norm, jnp.asarray(jnp.finfo(norm.dtype).tiny, norm.dtype)
+        )
+        vq = jnp.where(safe, v / jnp.where(safe, norm, 1.0), jnp.zeros_like(v))
+        q_new = q.at[:, nc].set(vq, mode="drop")
+        q = jnp.where(safe, q_new, q)
+        return (q, nc + safe.astype(nc.dtype)), None
 
     (q, nc), _ = jax.lax.scan(add_one, (q, ncols), jnp.arange(m))
     return q, nc

@@ -217,6 +217,36 @@ class TestGreedy:
         assert int(res.ncols) == m
         assert int(res.iterations) >= 1  # the estimator DID run
 
+    def test_basis_saturation_yields_no_zero_columns(self):
+        """N < 2m: the padded width exceeds N, so the second seed can only
+        add N − m independent columns. ncols must count the columns the
+        orthonormalization actually produced — a zero column under the
+        active mask makes every reduced system singular (NaN sweeps)."""
+        rng = np.random.default_rng(3)
+        n, m = 3, 2
+        g = rng.standard_normal((n, n))
+        a0 = (g + g.T) * 0.5 + 4 * n * np.eye(n)
+        b = rng.standard_normal((n, m))
+        domain = np.linspace(0.5, 1.5, 5)
+        sys_small = AffineSystem.create(
+            domain, a0, np.zeros((n, n)), -np.eye(n), b
+        )
+        for ortho in ("svd", "mgs"):
+            cfg = CFG.replace(
+                error_threshold=1e-12, orthonormalization=ortho
+            )
+            res = greedy_basis(sys_small, cfg)
+            nc = int(res.ncols)
+            assert nc <= n
+            q = np.asarray(res.q)[:, :nc]
+            # every active column is genuinely orthonormal — no zeros
+            np.testing.assert_allclose(
+                np.sum(np.abs(q) ** 2, axis=0), np.ones(nc), atol=1e-10
+            )
+            rm = project(sys_small, res.q, res.ncols).trim()
+            x = sweep(rm, cfg)
+            assert bool(jnp.isfinite(x).all()), ortho
+
     def test_greedy_jits_end_to_end(self, sys_obj):
         fn = jax.jit(lambda s: greedy_basis(s, CFG))
         res = fn(sys_obj)
