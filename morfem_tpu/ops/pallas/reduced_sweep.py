@@ -177,6 +177,10 @@ def gauss_jordan_sweep_solve(
     elimination's per-step work ~3× smaller than a square 128-padded
     buffer would.
     """
+    # Mosaic only compiles for TPU; on the CPU backend (unit tests,
+    # virtual meshes) fall back to interpret mode automatically — same
+    # convention as the banded and block-sparse kernels.
+    interpret = interpret or jax.default_backend() == "cpu"
     i_pts, k, m = rhs.shape
     ks = _round_up(max(k, 8), 8)
     kl = _round_up(max(k, 8), 128)
