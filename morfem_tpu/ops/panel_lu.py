@@ -433,10 +433,13 @@ def solve_batch_panel(
         return (x, r_new, jnp.linalg.norm(r_new), r_norm, it + 1)
 
     r0 = b_w - precise_matmul(a_w, x)
+    r0n = jnp.linalg.norm(r0)
+    # ∞ init derived from r0n, not a fresh constant: under shard_map the
+    # while_loop carry may not mix unvarying inits with mesh-varying
+    # outputs (see ops/solve.py::_refine_adaptive)
+    inf0 = r0n * 0 + jnp.asarray(jnp.inf, r0.real.dtype)
     x, *_ = lax.while_loop(
-        cond_fn, body_fn,
-        (x, r0, jnp.linalg.norm(r0), jnp.asarray(jnp.inf, r0.real.dtype),
-         jnp.asarray(0)),
+        cond_fn, body_fn, (x, r0, r0n, inf0, jnp.asarray(0))
     )
     return x
 

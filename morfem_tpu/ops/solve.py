@@ -329,7 +329,18 @@ def solve_dense(
     config: MorfemConfig = DEFAULT_CONFIG,
     residual_mm=None,
 ) -> jax.Array:
-    """Direct dense solve honoring `config.factorization` (see config.py)."""
+    """Direct dense solve honoring `config.factorization` (see config.py).
+
+    ``factorization="panel"`` (EXPLICIT only — "auto" routes single
+    solves to LU) factorizes through the blocked panel-LU GEMM path;
+    batched sweeps take it under "auto" on TPU (`solve_sweep`).
+    """
+    if config.factorization == "panel" and not jnp.issubdtype(
+        a.dtype, jnp.complexfloating
+    ):
+        from morfem_tpu.ops.panel_lu import solve_batch_panel
+
+        return solve_batch_panel(a[None], b[None], config)[0]
     if use_gj_factorization(a.dtype, a.shape[-1], config):
         return gj_solve_refined(
             a, b, refine_iterations=config.refine_iterations
