@@ -592,15 +592,20 @@ def truncated_band_via_rcm(
     band_op = BandedAffineOperator(
         *permuted, symmetrize=symmetrize, tile=tile, bandwidth=band_half
     )
-    # Exact applies: dense-block (BSR) storage keeps the GMRES matvecs on
-    # the MXU (ops/block_sparse.py); fall back to element-wise BCOO when
-    # the pattern is too scattered for blocking to pay (dense-block
-    # storage would exceed ~32× the union nnz).
+    # Exact applies, by pattern shape: dense-block (BSR) storage keeps
+    # the GMRES matvecs on the MXU (ops/block_sparse.py); patterns too
+    # scattered for blocking (>32× dense-block inflation) but with
+    # bounded row degree take gather-only ELL slots (ops/ell.py — no
+    # scatter/segment-sum); only a near-dense row, which blows up ELL's
+    # row padding too, falls back to element-wise BCOO.
     from morfem_tpu.ops.block_sparse import BlockSparseAffineOperator
+    from morfem_tpu.ops.ell import ELLAffineOperator
 
     exact_op = BlockSparseAffineOperator(*permuted, symmetrize=symmetrize)
     if exact_op.inflation > 32.0:
-        exact_op = SparseAffineOperator(*permuted, symmetrize=symmetrize)
+        exact_op = ELLAffineOperator(*permuted, symmetrize=symmetrize)
+        if exact_op.inflation > 8.0:
+            exact_op = SparseAffineOperator(*permuted, symmetrize=symmetrize)
     return exact_op, band_op, jnp.asarray(perm), dropped
 
 
