@@ -44,6 +44,43 @@ from morfem_tpu.system import (
 from morfem_tpu.utils.timing import PhaseTimer
 
 
+_warned_x64 = False
+
+
+def _warn_if_x64_disabled(b) -> None:
+    """Warn ONCE when f64 inputs meet a disabled jax x64 mode.
+
+    The reference works in NumPy float64 throughout; this package's
+    accuracy contract (adaptive f64 refinement, ~1e-10 solution error)
+    assumes ``jax.config.update("jax_enable_x64", True)``. Without it JAX
+    silently casts every input to f32 and the refinement floors at ~5e-8
+    — measured round 3 via a drive script that forgot the flag. A silent
+    250× accuracy regression is a trap; say something.
+    """
+    global _warned_x64
+    if _warned_x64 or jax.config.jax_enable_x64:
+        return
+    try:
+        import numpy as np
+
+        dt = np.asarray(getattr(b, "data", b)).dtype
+        if dt not in (np.float64, np.complex128):
+            return
+    except Exception:
+        return
+    _warned_x64 = True
+    import warnings
+
+    warnings.warn(
+        "morfem(): float64 inputs but jax x64 mode is DISABLED — all "
+        "arithmetic will silently run in float32 and solution accuracy "
+        "floors at ~5e-8 instead of ~1e-10. Call "
+        'jax.config.update("jax_enable_x64", True) before importing '
+        "arrays (see README).",
+        stacklevel=3,
+    )
+
+
 def build_reduced_model(
     sys: AffineSystem,
     config: MorfemConfig = DEFAULT_CONFIG,
@@ -115,6 +152,7 @@ def morfem(
       q [N, Nr] basis, a*_r [Nr, Nr], b_r [Nr, M]. Padding is trimmed.
     """
     timer = timer or PhaseTimer(disabled=True)
+    _warn_if_x64_disabled(b)
     try:
         import scipy.sparse as _sp
 

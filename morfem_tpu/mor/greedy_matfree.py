@@ -139,7 +139,7 @@ def greedy_basis_matfree(
         return c, jnp.asarray(t_b(t), dtype=dtype)
 
     @jax.jit
-    def snapshot(t):
+    def snapshot(op, t):
         c, cb = coeff_at(t)
         return solve_point_iterative(
             op, c, cb * b, tol=snapshot_tol, maxiter=snapshot_maxiter,
@@ -147,7 +147,7 @@ def greedy_basis_matfree(
         )
 
     @jax.jit
-    def estimate(q, ncols):
+    def estimate(op, q, ncols):
         mask = column_mask(k, ncols, q.dtype)
         qm = q * mask
         u = jnp.stack([op.apply_addend(p, qm) for p in range(3)])
@@ -175,7 +175,7 @@ def greedy_basis_matfree(
     res_limit = max(snapshot_tol * 100, 1e-8)
 
     @jax.jit
-    def snapshot_shifted(t):
+    def snapshot_shifted(op, t):
         # escalation path: near-resonance points where cond(A)·eps_f32 > 1
         # make the unshifted f32 factorization's refinement stagnate; the
         # σ-shifted factorization's condition is bounded by ~1/σ, so it is
@@ -200,11 +200,11 @@ def greedy_basis_matfree(
     accept_limit = 1e-4
 
     def solve_checked(t):
-        x, relres = snapshot(t)
+        x, relres = snapshot(op, t)
         worst = float(jnp.max(relres))
         # NaN (Krylov breakdown) must escalate: NaN > x is False
         if not (worst <= res_limit) and hasattr(op, "bands_w"):
-            x, relres = snapshot_shifted(t)
+            x, relres = snapshot_shifted(op, t)
             worst = float(jnp.max(relres))
         if not (worst <= accept_limit):
             warnings.warn(
@@ -239,7 +239,7 @@ def greedy_basis_matfree(
     u = None
     u_ncols = None  # basis width u was computed for (staleness guard)
     while it <= max_iters:
-        err, u = estimate(q, ncols)
+        err, u = estimate(op, q, ncols)
         u_ncols = int(ncols)
         err_host = np.asarray(err)
         err_hist[it] = err_host
@@ -267,7 +267,7 @@ def greedy_basis_matfree(
         # u = A_p·Q was computed for the PRE-append basis, so building the
         # reduced model from it would leave exact-zero columns for the
         # last snapshot's block — recompute for the final basis
-        _, u = estimate(q, ncols)
+        _, u = estimate(op, q, ncols)
 
     result = GreedyResult(
         q=q,

@@ -34,6 +34,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from morfem_tpu.utils.pytreereg import register_operator_pytree
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -301,3 +303,12 @@ class BlockSparseAffineOperator:
     def diagonal(self, c: jax.Array) -> jax.Array:
         d = self.diags
         return c[0] * d[0] + c[1] * d[1] + c[2] * d[2]
+
+
+# jit-argument capable (buffers as parameters, not HLO constants) — see
+# utils/pytreereg.py
+register_operator_pytree(
+    BlockSparseAffineOperator,
+    ("brows", "bcols", "vals_w", "diags"),
+    ("n", "br", "bc", "nbr", "nbc", "inflation"),
+)

@@ -39,6 +39,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from morfem_tpu.utils.pytreereg import register_operator_pytree
 from jax import lax
 
 # One-shot gather ([N, K, M] intermediate) below this element count;
@@ -194,3 +196,12 @@ class ELLAffineOperator:
     def diagonal(self, c: jax.Array) -> jax.Array:
         d = self.diags
         return c[0] * d[0] + c[1] * d[1] + c[2] * d[2]
+
+
+# jit-argument capable (buffers as parameters, not HLO constants) — see
+# utils/pytreereg.py
+register_operator_pytree(
+    ELLAffineOperator,
+    ("cols", "vals_w", "diags"),
+    ("n", "k", "inflation"),
+)

@@ -31,6 +31,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from morfem_tpu.utils.pytreereg import register_operator_pytree
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -284,6 +286,15 @@ class BandedAffineOperator:
     def diagonal(self, c: jax.Array) -> jax.Array:
         d = self.diags
         return c[0] * d[0] + c[1] * d[1] + c[2] * d[2]
+
+
+# jit-argument capable (buffers as parameters, not HLO constants) — see
+# utils/pytreereg.py
+register_operator_pytree(
+    BandedAffineOperator,
+    ("bands_p", "bands_w", "diags"),
+    ("half", "tile", "n", "bw"),
+)
 
 
 def banded_matvec_ref(band: jax.Array, half: int, x: jax.Array) -> jax.Array:

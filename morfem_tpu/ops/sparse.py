@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import sparse as jsparse
 
 from morfem_tpu.config import MorfemConfig, DEFAULT_CONFIG
+from morfem_tpu.utils.pytreereg import register_operator_pytree
 
 
 def to_bcoo(a, dtype=None, nse: Optional[int] = None) -> jsparse.BCOO:
@@ -131,6 +132,17 @@ class GeneralSparseOperator:
 
     def diagonal(self, c):
         return self.exact.diagonal(c)
+
+
+# Registered as pytrees so solvers can take the operator as a jit ARGUMENT
+# (buffers as parameters, not HLO constants — see utils/pytreereg.py; the
+# closure form overflowed the remote-compile request at N=9000).
+register_operator_pytree(
+    SparseAffineOperator, ("ops", "ops_t"), ("symmetrize",)
+)
+register_operator_pytree(
+    GeneralSparseOperator, ("exact", "band"), ("sigma", "dropped")
+)
 
 
 def solve_point_iterative(
@@ -267,11 +279,14 @@ def sparse_snapshot_basis(
         op = SparseAffineOperator(a0, a1, a2, symmetrize=config.symmetrize)
     ts = domain[seed_indices]
 
-    # jit ONCE across all seed points (the traced functions close over the
-    # operator): eager per-point dispatch pays per-op device latency —
-    # observed 3.5 s vs 54 ms for a single N=34k banded direct solve
+    # jit ONCE across all seed points, with the operator passed as a
+    # pytree ARGUMENT (utils/pytreereg.py): eager per-point dispatch pays
+    # per-op device latency — observed 3.5 s vs 54 ms for a single N=34k
+    # banded direct solve — while CLOSING over the operator would embed
+    # its buffers as HLO constants and overflow the remote-compile
+    # request at large N (HTTP 413 at N=9000, round 3)
     @jax.jit
-    def _solve(t):
+    def _solve(op, t):
         c = jnp.stack(
             [
                 jnp.asarray(t_a0(t), dtype=b.dtype),
@@ -286,7 +301,7 @@ def sparse_snapshot_basis(
         return x, relres, c, rhs
 
     @jax.jit
-    def _solve_shifted(c, rhs):
+    def _solve_shifted(op, c, rhs):
         from morfem_tpu.ops.block_tridiag import shifted_gmres_solve
 
         return shifted_gmres_solve(op, c, rhs, tol=tol, maxiter=60)
@@ -294,7 +309,7 @@ def sparse_snapshot_basis(
     snaps = []
     worst = 0.0
     for i in range(ts.shape[0]):
-        x, relres, c, rhs = _solve(ts[i])
+        x, relres, c, rhs = _solve(op, ts[i])
         point_worst = float(jnp.max(relres))
         # NaN residuals (Krylov breakdown on indefinite systems) must
         # escalate too — note NaN > x is False, so compare negatively
@@ -303,7 +318,7 @@ def sparse_snapshot_basis(
             # near-resonance escalation: the σ-shifted factorization's
             # condition is bounded by ~1/σ (f32-safe) where the unshifted
             # one's refinement stagnates — see ops/block_tridiag
-            x, relres = _solve_shifted(c, rhs)
+            x, relres = _solve_shifted(op, c, rhs)
             point_worst = float(jnp.max(relres))
         # NaN-propagating aggregation: max(worst, nan) would KEEP the old
         # worst (nan > x is False) and the warning below would never fire
