@@ -111,8 +111,10 @@ def main():
     freq = np.linspace(3e9, 5e9, N_POINTS)
     sys_ = waveguide_system(freq, data)
     cfg = MorfemConfig(
-        solve_chunk=16, error_threshold=1e-8, orthonormalization="mgs"
+        solve_chunk=20, error_threshold=1e-8, orthonormalization="mgs"
     )  # mgs: same convergence as svd at N=3411, 1.6x faster basis build
+    # solve_chunk=20: measured 1.73 s vs 1.84 s (chunk 16) for the 100-pt
+    # full-order sweep on the v5e (round 3) — 5 exact chunks, wider GEMMs
     log(f"N={sys_.n} M={sys_.m} I={N_POINTS} (synthetic={data.synthetic})")
 
     # ---- full-order baseline: AOT-compile, then time the execution ----

@@ -75,31 +75,42 @@ def pivot_rows_mxu(
     return out
 
 
-def _unit_lower_inv(l: jax.Array) -> jax.Array:
-    """Inverse of batched unit-lower-triangular blocks via recursion.
+def _unit_lower_inv(l: jax.Array, base: int = 32) -> jax.Array:
+    """Inverse of batched unit-lower-triangular blocks: recursion + log-squaring.
 
     `jnp.linalg.inv` on [G, nb, 128, 128] costs ~30 ms per factor chunk
     on this chip (LU + TriangularSolve per block). The 2×2 block
     recursion [[L11,0],[L21,L22]]⁻¹ = [[L11⁻¹,0],[−L22⁻¹L21L11⁻¹,L22⁻¹]]
-    is all batched matmuls down to an 8×8 base case, where the strictly
-    lower part is nilpotent and the Neumann series is EXACT.
+    is all batched matmuls; at ``base`` the remaining block is inverted
+    by the telescoped Neumann product (L = I − N, N nilpotent):
+
+        L⁻¹ = (I + N)(I + N²)(I + N⁴)…        — exact: every Σ N^i term
+                                                appears exactly once.
+
+    Both knobs are compile/accuracy trade-offs measured round 3 (the
+    unrolled per-panel-step inverses dominate `panel_lu_factor_block`'s
+    XLA compile): recursion to an 8×8 series base compiled in 67 s;
+    pure log-squaring at s=128 compiles in ~10 s but loses ~5 digits on
+    real pivoted factors (intermediate N^(2^j) powers grow to ~1e3
+    before cancelling — measured |L⁻¹L−I| 9.8e-2); recursion to a
+    base-32 log-squared core keeps |L⁻¹L−I| ≈ 5e-6 (the recursion's
+    class) and compiles in ~13 s.
     """
     s = l.shape[-1]
     mm = lambda a, b: jnp.einsum(  # noqa: E731
         "...ij,...jk->...ik", a, b, precision=_HI
     )
-    if s <= 8:
+    if s <= base:
         eye = jnp.eye(s, dtype=l.dtype)
-        strict = jnp.tril(l, -1)
-        term = -strict
-        out = jnp.broadcast_to(eye, l.shape) + term
-        for _ in range(s - 2):
-            term = -mm(strict, term)
-            out = out + term
+        n_pow = -jnp.tril(l, -1)  # N^(2^j), starting at j=0
+        out = jnp.broadcast_to(eye, l.shape) + n_pow
+        for _ in range(max(0, (s - 1).bit_length() - 1)):
+            n_pow = mm(n_pow, n_pow)
+            out = out + mm(out, n_pow)  # out·(I + N^(2^j))
         return out
     h = s // 2
-    l11 = _unit_lower_inv(l[..., :h, :h])
-    l22 = _unit_lower_inv(l[..., h:, h:])
+    l11 = _unit_lower_inv(l[..., :h, :h], base)
+    l22 = _unit_lower_inv(l[..., h:, h:], base)
     off = -mm(l22, mm(l[..., h:, :h], l11))
     top = jnp.concatenate([l11, jnp.zeros_like(l[..., :h, h:])], axis=-1)
     bot = jnp.concatenate([off, l22], axis=-1)
@@ -459,7 +470,7 @@ def solve_sweep_panel(sys, config: MorfemConfig = DEFAULT_CONFIG):
 
     Returns x [I, N, M].
     """
-    from morfem_tpu.ops.assembly import assemble_at
+    from morfem_tpu.ops.assembly import impulse_vector
     from morfem_tpu.ops.precision import (
         OZAKI_MIN_K,
         ozaki_apply,
@@ -504,16 +515,31 @@ def solve_sweep_panel(sys, config: MorfemConfig = DEFAULT_CONFIG):
             )
 
     refine_cap = config.refine_iterations
+    # The factor consumes A(t) in f32 only (refinement residuals run
+    # against the EXACT f64 operators via ops_apply, so the factor is a
+    # preconditioner either way). Assembling in emulated f64 and casting
+    # cost ~65 ms per chunk of elementwise double-double VPU work
+    # (measured round 3, ~0.3 s of a 100-pt sweep); combining pre-cast
+    # f32 operators is one fused f32 pass at HBM bandwidth. The f32-
+    # assembled factor differs by ~1 ulp relative — same cond·1e-7
+    # refinement contraction class.
+    ops32 = [o.astype(jnp.float32) for o in ops]
 
     def solve_chunk(ts):
-        a, rhs = assemble_at(sys, ts, symmetrize=config.symmetrize)
+        c, cb = sys.coefficients(ts)  # [G, 3], [G]
+        c32 = c.astype(jnp.float32)
+        a = (
+            c32[:, 0, None, None] * ops32[0]
+            + c32[:, 1, None, None] * ops32[1]
+            + c32[:, 2, None, None] * ops32[2]
+        )
+        rhs = impulse_vector(sys.b, cb)
         if not wide or refine_cap <= 0:
             # no refinement available to absorb a looser factor — use the
             # f32-true trail unconditionally
             f = panel_lu_factor(a)
             return panel_lu_apply(f, rhs).astype(work)
 
-        c, cb = sys.coefficients(ts)  # [G, 3], [G]
         b_w = rhs.astype(work)
         b_norm = jnp.linalg.norm(b_w)
         tol = 10 * jnp.finfo(work).eps * b_norm
