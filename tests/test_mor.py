@@ -338,3 +338,40 @@ class TestPublicAPI:
         rec = np.einsum("nk,ikm->inm", np.asarray(q), np.asarray(x))
         rel = np.linalg.norm(rec - x_full) / np.linalg.norm(x_full)
         assert rel < 1e-8, rel
+
+
+def test_morfem_warns_when_x64_disabled():
+    """f64 inputs + disabled x64 mode silently run f32 (accuracy floors
+    at ~5e-8 instead of ~1e-10) — morfem() must say so (round 3: a drive
+    script that forgot the flag chased a phantom on-chip accuracy bug)."""
+    import warnings
+
+    import jax
+
+    import morfem_tpu.mor.api as api
+
+    a0 = np.eye(16) * 4.0
+    a1 = np.zeros((16, 16))
+    a2 = -np.eye(16)
+    b = np.ones((16, 1))
+    dom = np.linspace(0.3, 0.6, 5)
+    cfg = MorfemConfig(
+        use_equally_distributed=True, equally_distributed_reduction_rate=0.5
+    )
+    old_flag = api._warned_x64
+    try:
+        api._warned_x64 = False
+        jax.config.update("jax_enable_x64", False)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            morfem(dom, a0, a1, a2, b, config=cfg)
+        assert any("x64 mode is DISABLED" in str(x.message) for x in w)
+        # ... and only once
+        api._warned_x64 = True
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            morfem(dom, a0, a1, a2, b, config=cfg)
+        assert not any("x64 mode is DISABLED" in str(x.message) for x in w)
+    finally:
+        jax.config.update("jax_enable_x64", True)
+        api._warned_x64 = old_flag
