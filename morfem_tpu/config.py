@@ -46,7 +46,10 @@ class MorfemConfig:
         residual-checked escalation to "full" partial pivoting per chunk
         (block pivoting's element growth is unbounded on ill-conditioned
         diagonal blocks; escalation makes it exact-safe), or "full":
-        always partial pivoting over all remaining rows.
+        always partial pivoting over all remaining rows; `panel_width` —
+        the blocked factor's panel size (multiple of 128; wider panels
+        mean fewer sequential steps and fatter trailing GEMMs per step,
+        at more padded work when N is far from a multiple).
       use_equally_distributed: select the equally-distributed basis strategy
         instead of the greedy one (reference: implementation.py:13, :175).
       equally_distributed_reduction_rate: fraction of domain points NOT used
@@ -142,12 +145,18 @@ class MorfemConfig:
     band_max_half: int = 2048
     panel_trail: str = "accurate"
     panel_pivot: str = "block"
+    panel_width: int = 128
 
     def __post_init__(self):
         if self.panel_trail not in ("accurate", "fast"):
             raise ValueError(
                 f"panel_trail must be 'accurate' or 'fast', got "
                 f"{self.panel_trail!r}"
+            )
+        if self.panel_width % 128 != 0 or self.panel_width <= 0:
+            raise ValueError(
+                f"panel_width must be a positive multiple of 128 (the "
+                f"Mosaic lane width), got {self.panel_width}"
             )
         if self.panel_pivot not in ("full", "block"):
             raise ValueError(

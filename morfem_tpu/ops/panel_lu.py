@@ -155,6 +155,7 @@ def panel_lu_factor(
     a: jax.Array,
     interpret: bool | None = None,
     trail: str = "f32x6",
+    panel: int = PANEL,
 ) -> PanelLUFactors:
     """Factor a batch of real square systems: [G, N, N] → PanelLUFactors.
 
@@ -181,8 +182,8 @@ def panel_lu_factor(
     g, n, n2 = a.shape
     if n != n2:
         raise ValueError(f"square systems required, got {a.shape}")
-    np_ = _round_up(n, PANEL)
-    nb = np_ // PANEL
+    np_ = _round_up(n, panel)
+    nb = np_ // panel
 
     a32 = a.astype(jnp.float32)
     d = jnp.max(jnp.abs(a32), axis=-1)  # [G, N]
@@ -203,13 +204,13 @@ def panel_lu_factor(
     done = []
     pivs = []
     for k in range(nb):
-        panel_t = jnp.swapaxes(rest[:, :, :PANEL], 1, 2)  # [G, P, Np]
+        panel_t = jnp.swapaxes(rest[:, :, :panel], 1, 2)  # [G, P, Np]
         fac_t, c_t, piv, avail = panel_factor(panel_t, avail,
                                               interpret=interpret)
         done.append(jnp.swapaxes(fac_t, 1, 2))
         pivs.append(piv)
         if k + 1 < nb:
-            tr = rest[:, :, PANEL:]
+            tr = rest[:, :, panel:]
             words = 3 if trail == "f32x6" else 2
             rows = pivot_rows_mxu(tr, piv, np_, words=words)  # [G, P, W]
             cmat = jnp.swapaxes(c_t, 1, 2)  # [G, Np, P]
@@ -226,11 +227,11 @@ def panel_lu_factor(
     lug = gather_rows(m_fac, perm)
 
     diag = jnp.stack(
-        [lug[:, k * PANEL : (k + 1) * PANEL, k * PANEL : (k + 1) * PANEL]
+        [lug[:, k * panel : (k + 1) * panel, k * panel : (k + 1) * panel]
          for k in range(nb)],
         axis=1,
     )  # [G, nb, P, P]
-    eye = jnp.eye(PANEL, dtype=jnp.float32)
+    eye = jnp.eye(panel, dtype=jnp.float32)
     l_diag = jnp.tril(diag, -1) + eye
     u_diag = jnp.triu(diag)
     linv = _unit_lower_inv(l_diag)
@@ -243,6 +244,7 @@ def panel_lu_factor_block(
     a: jax.Array,
     interpret: bool | None = None,
     trail: str = "f32x6",
+    panel: int = PANEL,
 ) -> PanelLUFactors:
     """Blocked LU with BLOCK-LOCAL pivoting — the GEMM-only fast factor.
 
@@ -278,8 +280,8 @@ def panel_lu_factor_block(
     g, n, n2 = a.shape
     if n != n2:
         raise ValueError(f"square systems required, got {a.shape}")
-    np_ = _round_up(n, PANEL)
-    nb = np_ // PANEL
+    np_ = _round_up(n, panel)
+    nb = np_ // panel
 
     a32 = a.astype(jnp.float32)
     d = jnp.max(jnp.abs(a32), axis=-1)
@@ -299,13 +301,13 @@ def panel_lu_factor_block(
             return jnp.matmul(x, y, precision=jax.lax.Precision.HIGH)
 
     take = jax.vmap(lambda m, i: jnp.take(m, i, axis=0))
-    eye = jnp.eye(PANEL, dtype=jnp.float32)
-    ones_avail = jnp.ones((g, PANEL), jnp.float32)
+    eye = jnp.eye(panel, dtype=jnp.float32)
+    ones_avail = jnp.ones((g, panel), jnp.float32)
     out = jnp.zeros((g, np_, np_), jnp.float32)
     rest = a32
     linvs, uinvs, pivs = [], [], []
     for k in range(nb):
-        d_t = jnp.swapaxes(rest[:, :PANEL, :PANEL], 1, 2)  # [G, Pc, Pr]
+        d_t = jnp.swapaxes(rest[:, :panel, :panel], 1, 2)  # [G, Pc, Pr]
         fac_t, _c, piv, _av = panel_factor(d_t, ones_avail,
                                            interpret=interpret)
         fac = jnp.swapaxes(fac_t, 1, 2)  # [G, Pr, Pc]
@@ -319,30 +321,30 @@ def panel_lu_factor_block(
             # written L21 rows (LAPACK's laswp across the factored left
             # part); columns ≥ k·P are overwritten below anyway
             band = lax.dynamic_slice(
-                out, (0, k * PANEL, 0), (g, PANEL, np_)
+                out, (0, k * panel, 0), (g, panel, np_)
             )
             out = lax.dynamic_update_slice(
-                out, take(band, piv), (0, k * PANEL, 0)
+                out, take(band, piv), (0, k * panel, 0)
             )
         if k + 1 < nb:
-            a12p = take(rest[:, :PANEL, PANEL:], piv)  # [G, P, W]
+            a12p = take(rest[:, :panel, panel:], piv)  # [G, P, W]
             u12 = mmt(linv, a12p)
-            l21 = mmt(rest[:, PANEL:, :PANEL], uinv)  # [G, W, P]
-            rest = rest[:, PANEL:, PANEL:] - mmt(l21, u12)
+            l21 = mmt(rest[:, panel:, :panel], uinv)  # [G, W, P]
+            rest = rest[:, panel:, panel:] - mmt(l21, u12)
             row_block = jnp.concatenate([lu_d, u12], axis=2)
             out = lax.dynamic_update_slice(
-                out, row_block, (0, k * PANEL, k * PANEL)
+                out, row_block, (0, k * panel, k * panel)
             )
             out = lax.dynamic_update_slice(
-                out, l21, (0, (k + 1) * PANEL, k * PANEL)
+                out, l21, (0, (k + 1) * panel, k * panel)
             )
         else:
             out = lax.dynamic_update_slice(
-                out, lu_d, (0, k * PANEL, k * PANEL)
+                out, lu_d, (0, k * panel, k * panel)
             )
         linvs.append(linv)
         uinvs.append(uinv)
-        pivs.append(k * PANEL + piv)
+        pivs.append(k * panel + piv)
 
     return PanelLUFactors(
         lug=out,
@@ -362,7 +364,8 @@ def panel_lu_apply(f: PanelLUFactors, rhs: jax.Array) -> jax.Array:
     callers refine (`solve_sweep_panel` / `_refine_adaptive`).
     """
     g, np_, _ = f.lug.shape
-    nb = np_ // PANEL
+    panel = f.linv.shape[-1]  # factor-time panel width
+    nb = np_ // panel
     n, m = rhs.shape[-2], rhs.shape[-1]
     mp = max(8, _round_up(m, 8))
     r32 = jnp.zeros((g, np_, mp), jnp.float32)
@@ -372,20 +375,20 @@ def panel_lu_apply(f: PanelLUFactors, rhs: jax.Array) -> jax.Array:
     bp = gather_rows(r32, f.perm)
 
     cols = jnp.stack(
-        [f.lug[:, :, k * PANEL : (k + 1) * PANEL] for k in range(nb)]
+        [f.lug[:, :, k * panel : (k + 1) * panel] for k in range(nb)]
     )  # [nb, G, Np, P]
     row_f = jnp.arange(np_, dtype=jnp.float32)[None, :, None]
 
     def fwd(carry, inputs):
         s, y = carry
         k, colblk, li = inputs  # colblk [G, Np, P], li [G, P, P]
-        rk = lax.dynamic_slice(bp - s, (0, k * PANEL, 0), (g, PANEL, mp))
+        rk = lax.dynamic_slice(bp - s, (0, k * panel, 0), (g, panel, mp))
         yk = matmul_f32_accurate(li, rk)  # [G, P, Mp]
-        mask = (row_f >= ((k + 1) * PANEL).astype(jnp.float32)).astype(
+        mask = (row_f >= ((k + 1) * panel).astype(jnp.float32)).astype(
             jnp.float32
         )
         s = s + matmul_f32_accurate(colblk * mask, yk)
-        y = lax.dynamic_update_slice(y, yk, (0, k * PANEL, 0))
+        y = lax.dynamic_update_slice(y, yk, (0, k * panel, 0))
         return (s, y), None
 
     ks = jnp.arange(nb)
@@ -395,11 +398,11 @@ def panel_lu_apply(f: PanelLUFactors, rhs: jax.Array) -> jax.Array:
     def bwd(carry, inputs):
         s, x = carry
         k, colblk, ui = inputs
-        rk = lax.dynamic_slice(y - s, (0, k * PANEL, 0), (g, PANEL, mp))
+        rk = lax.dynamic_slice(y - s, (0, k * panel, 0), (g, panel, mp))
         xk = matmul_f32_accurate(ui, rk)
-        mask = (row_f < (k * PANEL).astype(jnp.float32)).astype(jnp.float32)
+        mask = (row_f < (k * panel).astype(jnp.float32)).astype(jnp.float32)
         s = s + matmul_f32_accurate(colblk * mask, xk)
-        x = lax.dynamic_update_slice(x, xk, (0, k * PANEL, 0))
+        x = lax.dynamic_update_slice(x, xk, (0, k * panel, 0))
         return (s, x), None
 
     (s, x), _ = lax.scan(
@@ -421,7 +424,7 @@ def solve_batch_panel(
     """
     from morfem_tpu.ops.precision import precise_matmul
 
-    f = panel_lu_factor(a, interpret=interpret)
+    f = panel_lu_factor(a, interpret=interpret, panel=config.panel_width)
     work = jnp.result_type(a.dtype, b.dtype)
     x = panel_lu_apply(f, b).astype(work)
     if jnp.finfo(work).bits <= 32 or config.refine_iterations <= 0:
@@ -537,7 +540,7 @@ def solve_sweep_panel(sys, config: MorfemConfig = DEFAULT_CONFIG):
         if not wide or refine_cap <= 0:
             # no refinement available to absorb a looser factor — use the
             # f32-true trail unconditionally
-            f = panel_lu_factor(a)
+            f = panel_lu_factor(a, panel=config.panel_width)
             return panel_lu_apply(f, rhs).astype(work)
 
         b_w = rhs.astype(work)
@@ -555,9 +558,13 @@ def solve_sweep_panel(sys, config: MorfemConfig = DEFAULT_CONFIG):
 
         def factor_refine(trail, pivot="full"):
             if pivot == "block":
-                f = panel_lu_factor_block(a, trail=trail)
+                f = panel_lu_factor_block(
+                    a, trail=trail, panel=config.panel_width
+                )
             else:
-                f = panel_lu_factor(a, trail=trail)
+                f = panel_lu_factor(
+                    a, trail=trail, panel=config.panel_width
+                )
             x = panel_lu_apply(f, rhs).astype(work)
 
             def cond_fn(state):

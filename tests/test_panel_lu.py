@@ -198,6 +198,47 @@ def test_fast_trail_factor_refines_to_working_precision(rng):
     assert relres < 1e-12
 
 
+@pytest.mark.parametrize("panel", [256, 384])
+def test_wide_panel_factor_apply(rng, panel):
+    """panel_width > 128 (fewer sequential panel steps): both factor
+    variants must produce refinable factors at non-divisible N."""
+    from morfem_tpu.ops.panel_lu import panel_lu_factor_block
+
+    n, g = 300, 2
+    a = rng.standard_normal((g, n, n))
+    b = rng.standard_normal((g, n, 2))
+    a64, b64 = jnp.asarray(a), jnp.asarray(b)
+    for factor in (panel_lu_factor, panel_lu_factor_block):
+        f = factor(a64, interpret=True, panel=panel)
+        x = panel_lu_apply(f, b64).astype(jnp.float64)
+        for _ in range(8):
+            x = x + panel_lu_apply(f, b64 - a64 @ x).astype(jnp.float64)
+        relres = np.linalg.norm(a @ np.asarray(x) - b) / np.linalg.norm(b)
+        assert relres < 1e-12, factor.__name__
+
+
+def test_sweep_panel_width_config(rng):
+    from morfem_tpu.ops.solve import solve_sweep
+    from morfem_tpu.system import AffineSystem
+    from morfem_tpu.utils.synthetic import random_affine_system
+
+    domain, a0, a1, a2, b = random_affine_system(
+        jax.random.PRNGKey(7), n=200, m=2, num_points=5
+    )
+    sys_ = AffineSystem.create(domain, a0, a1, a2, b)
+    x_lu = solve_sweep(sys_, MorfemConfig(factorization="lu"))
+    x_wide = solve_sweep_panel(
+        sys_, MorfemConfig(solve_chunk=3, panel_width=256)
+    )
+    rel = float(jnp.linalg.norm(x_wide - x_lu) / jnp.linalg.norm(x_lu))
+    assert rel < 1e-10
+
+
+def test_config_rejects_bad_panel_width():
+    with pytest.raises(ValueError, match="panel_width"):
+        MorfemConfig(panel_width=192)
+
+
 def test_factor_rejects_unknown_trail(rng):
     a = jnp.asarray(rng.standard_normal((1, 64, 64)))
     with pytest.raises(ValueError, match="trail"):
