@@ -48,6 +48,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def full_pivot_panel(n: int, panel: int) -> int:
+    """Effective panel width for the FULL-pivot factor (VMEM clamp).
+
+    The full-pivot Pallas kernel holds ~5 P×Npl f32 buffers per program
+    (panel + coefficients, in/out/scratch). At P=256, N≈3.4k that is
+    ~18 MB > the 16 MB VMEM — fall back to the 128 base width when a
+    wider panel would not fit (the block-pivot variant sees only [P, P]
+    diagonal blocks and takes the requested width as-is).
+    """
+    if panel > PANEL and 5 * panel * _round_up(n, panel) * 4 > 12 << 20:
+        return PANEL
+    return panel
+
+
 def pivot_rows_mxu(
     mat: jax.Array, piv: jax.Array, n_rows: int, words: int = 3
 ) -> jax.Array:
@@ -182,6 +196,7 @@ def panel_lu_factor(
     g, n, n2 = a.shape
     if n != n2:
         raise ValueError(f"square systems required, got {a.shape}")
+    panel = full_pivot_panel(n, panel)
     np_ = _round_up(n, panel)
     nb = np_ // panel
 

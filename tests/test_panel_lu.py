@@ -239,6 +239,19 @@ def test_config_rejects_bad_panel_width():
         MorfemConfig(panel_width=192)
 
 
+def test_full_pivot_panel_vmem_clamp():
+    """Wide panels fall back to 128 for the full-pivot kernel when its
+    P×N VMEM buffers would not fit; small N keeps the requested width."""
+    from morfem_tpu.ops.panel_lu import full_pivot_panel
+
+    assert full_pivot_panel(1536, 256) == 256
+    assert full_pivot_panel(3411, 256) == 128
+    assert full_pivot_panel(3411, 128) == 128
+    # the clamp engages exactly where 5*P*Npl*4 crosses 12 MiB
+    assert full_pivot_panel(2304, 256) == 256
+    assert full_pivot_panel(2305, 256) == 128
+
+
 def test_factor_rejects_unknown_trail(rng):
     a = jnp.asarray(rng.standard_normal((1, 64, 64)))
     with pytest.raises(ValueError, match="trail"):
