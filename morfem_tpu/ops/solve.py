@@ -420,6 +420,16 @@ def solve_sweep(
     pad = (-i) % chunk
     ts = jnp.concatenate([sys.domain, jnp.broadcast_to(sys.domain[-1:], (pad,))])
     ts = ts.reshape((-1, chunk))
-    xs = lax.map(lambda tc: solve_batch(sys, tc, config), ts)
+    # Refinement residuals ride ONE hoisted split of the three shared
+    # operators instead of a per-point Ozaki split of the assembled
+    # [chunk, N, N] f64 A(t) — the per-point splits alone cost
+    # ~slices·chunk·N² bf16 of HBM (4.5 GB at chunk 20, N=3411; observed
+    # RESOURCE_EXHAUSTED) and redo work the affine structure shares.
+    from morfem_tpu.ops.assembly import SharedAffineApply
+
+    shared = SharedAffineApply(sys.operators(), symmetrize=config.symmetrize)
+    if shared.preps is None:
+        shared = None  # off the ozaki path: local accurate matmuls are fine
+    xs = lax.map(lambda tc: solve_batch(sys, tc, config, shared=shared), ts)
     xs = xs.reshape((-1,) + xs.shape[2:])
     return xs[:i]
