@@ -99,6 +99,9 @@ class MorfemConfig:
         iteration anyway (no 9 K²-sized Gram contractions).
       estimator_chunk: domain points per chunk in the direct estimator
         (bounds the [chunk, N, M] residual intermediate in HBM).
+      estimator_impl: residual-product backend of the direct estimator —
+        "auto" | "einsum" | "ozaki" (see
+        `mor/estimator.py::estimate_errors_direct`).
       sweep_method: how `morfem()` runs the final reduced sweep. "auto"
         (default): diagonalize two-term definite pencils once and sweep in
         O(K·M) per point (`mor/spectral.py`, ~7× faster than batched LU on
@@ -144,6 +147,7 @@ class MorfemConfig:
     dependency_tolerance: float = 1e-12
     estimator: str = "direct"
     estimator_chunk: int = 1024
+    estimator_impl: str = "auto"
     sweep_method: str = "auto"
     dense_cutoff: int = 8192
     band_max_half: int = 2048
@@ -166,6 +170,11 @@ class MorfemConfig:
             raise ValueError(
                 f"panel_pivot must be 'full' or 'block', got "
                 f"{self.panel_pivot!r}"
+            )
+        if self.estimator_impl not in ("auto", "einsum", "ozaki"):
+            raise ValueError(
+                f"estimator_impl must be 'auto', 'einsum' or 'ozaki', got "
+                f"{self.estimator_impl!r}"
             )
         if self.factorization not in ("auto", "lu", "gj", "panel"):
             raise ValueError(

@@ -166,6 +166,7 @@ def estimate_errors_direct(
     u: jax.Array,
     b: jax.Array,
     config: MorfemConfig = DEFAULT_CONFIG,
+    impl: str | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Residual-norm estimate per domain point, evaluated directly.
 
@@ -188,13 +189,50 @@ def estimate_errors_direct(
       rm: reduced model (padded).
       u: [3, N, K] stack U_p = A_p·Q from `estimator_blocks` / projection.
       b: [N, M] impulse part.
+      impl: residual-product backend; None (default) reads
+        ``config.estimator_impl``. "einsum" — emulated-f64 HIGHEST
+        einsums (any dtype/backend). "ozaki" — ONE flat bf16 matmul over
+        a per-call split of u plus an f32-true norm; f64-accurate where
+        it matters (R's cancellation happens in the f64 recombination and
+        subtraction; the post-normalization norm has no cancellation, so
+        its 1e-7 f32 floor is noise at the estimator's job of argmax +
+        threshold). "auto" picks einsum: an isolated-estimator compile
+        probe favored ozaki (17.3 s vs 42 s), but at whole-greedy level
+        XLA shares the einsum expansion with the refinement path and the
+        ordering flips — full cold compile measured on the v5e at
+        N=3411: einsum 64.0 s vs ozaki 79.3 s (round 3 A/B; both after
+        the elementwise 3-term weighted sum below cut the einsum build
+        from 86 s). "ozaki" stays available for workloads that never
+        touch the emulated-f64 matmul elsewhere.
 
     Returns:
       (err [I], x_r [I, K, M]).
     """
+    if impl is None:
+        impl = config.estimator_impl
+    if impl not in ("auto", "einsum", "ozaki"):
+        raise ValueError(f"impl must be auto|einsum|ozaki, got {impl!r}")
     c, cb = rm.coefficients(rm.domain)  # [I, 3], [I]
     a, rhs = assemble_reduced(rm, rm.domain, config)
     x = solve_reduced_batch(a, rhs, config)  # [I, K, M]
+
+    real_f64 = (
+        u.dtype == jnp.dtype(jnp.float64)
+        and x.dtype == jnp.dtype(jnp.float64)
+        and b.dtype == jnp.dtype(jnp.float64)
+    )
+    # auto == einsum today: the whole-greedy compile A/B (see docstring)
+    # went to einsum, and runtimes are within noise of each other
+    use_ozaki = impl == "ozaki"
+    if use_ozaki and not real_f64:
+        raise ValueError("impl='ozaki' needs real float64 operands")
+    prep = None
+    if use_ozaki:
+        from morfem_tpu.ops.precision import ozaki_prepare
+
+        # split u ONCE, outside the chunk loop: every chunk's residual is
+        # then one flat bf16 matmul against the same slices
+        prep = ozaki_prepare(u)
 
     i_pts = c.shape[0]
     chunk = max(1, min(config.estimator_chunk, i_pts))
@@ -211,9 +249,22 @@ def estimate_errors_direct(
     def chunk_err(args):
         cc, cbc, xc = args
         # R = Σ_p c_p·(U_p @ x) − c_b·B   → [chunk, N, M]
-        ux = jnp.einsum("pnk,ikm->pinm", u, xc, precision=_HI)
+        if use_ozaki:
+            from morfem_tpu.ops.precision import ozaki_apply
+
+            ch, k_b, m_rhs = xc.shape
+            xf = jnp.moveaxis(xc, 0, 1).reshape(k_b, ch * m_rhs)
+            ys = ozaki_apply(prep, xf)  # [3, N, chunk·M] f64-true
+            ux = jnp.moveaxis(
+                ys.reshape(3, u.shape[1], ch, m_rhs), 2, 1
+            )  # [3, chunk, N, M]
+        else:
+            ux = jnp.einsum("pnk,ikm->pinm", u, xc, precision=_HI)
+        # weighted sum over the length-3 operator axis ELEMENTWISE (a dot
+        # would route the 3-term contraction through the f64 matmul
+        # emulation — compile- and runtime-expensive for nothing)
         r = (
-            jnp.einsum("ip,pinm->inm", cc, ux, precision=_HI)
+            sum(cc[:, p, None, None] * ux[p] for p in range(3))
             - cbc[:, None, None] * b
         )
         # err = ‖RᴴR‖_F (reference norm semantics, implementation.py:424),
@@ -232,8 +283,22 @@ def estimate_errors_direct(
             jnp.asarray(jnp.finfo(r.real.dtype).tiny, r.real.dtype),
         )
         rn = r / s
-        rhr = jnp.einsum("inm,inl->iml", rn.conj(), rn, precision=_HI)
-        norm_n = jnp.sqrt(jnp.sum(jnp.abs(rhr) ** 2, axis=(-1, -2)))
+        if use_ozaki:
+            # post-normalization there is NO cancellation left (max
+            # element of rn is exactly ±1, the Gram diag is O(1)), so an
+            # f32-true product is 1e-7-relative on ν — noise against the
+            # estimator's argmax/threshold job, and free of the emulated-
+            # f64 einsum's compile/runtime cost
+            from morfem_tpu.ops.precision import matmul_f32_accurate
+
+            rn32 = rn.astype(jnp.float32)
+            rhr = matmul_f32_accurate(jnp.swapaxes(rn32, -1, -2), rn32)
+            norm_n = jnp.sqrt(
+                jnp.sum(jnp.square(rhr), axis=(-1, -2))
+            ).astype(r.real.dtype)
+        else:
+            rhr = jnp.einsum("inm,inl->iml", rn.conj(), rn, precision=_HI)
+            norm_n = jnp.sqrt(jnp.sum(jnp.abs(rhr) ** 2, axis=(-1, -2)))
         # (s·√ν)² rather than s²·ν: every multiply's factors stay ≤ √(f32
         # max), so the result is safe over emulated-f64's whole range
         return jnp.square(s[:, 0, 0].real * jnp.sqrt(norm_n))

@@ -109,6 +109,66 @@ class TestEstimator:
             np.asarray(err_direct), np.asarray(err_gram), rtol=1e-5, atol=5e-12
         )
 
+    def test_direct_estimator_ozaki_impl_matches_einsum(self, system, sys_obj):
+        """The flat-bf16 residual product + f32 norm (the TPU compile-
+        cheap formulation) agrees with the emulated-f64 einsum form well
+        inside the estimator's job (argmax + threshold)."""
+        from morfem_tpu.mor.estimator import estimate_errors_direct
+        from morfem_tpu import project
+
+        domain, a0, a1, a2, b = system
+        snaps = np.concatenate(
+            [
+                oracles.solve_point(
+                    domain[j], a0, a1, a2, b, *oracles.default_wave_coeffs()
+                )
+                for j in (0, 39)
+            ],
+            axis=1,
+        )
+        q_active = np.linalg.svd(snaps, full_matrices=False)[0]
+        k = 8
+        q = (
+            jnp.zeros((a0.shape[0], k), dtype=jnp.float64)
+            .at[:, :4]
+            .set(q_active)
+        )
+        ncols = jnp.asarray(4)
+        _, u = estimator_blocks(sys_obj, q, ncols)
+        rm = project(sys_obj, q * (jnp.arange(k) < ncols), ncols)
+        err_ein, _ = estimate_errors_direct(rm, u, sys_obj.b, CFG, impl="einsum")
+        err_oz, _ = estimate_errors_direct(rm, u, sys_obj.b, CFG, impl="ozaki")
+        # floors: the bf16-slice product truncates terms ~2e-15·‖U‖‖x‖
+        # below the leading scale, the f32 norm adds ~1e-7 relative
+        np.testing.assert_allclose(
+            np.asarray(err_oz),
+            np.asarray(err_ein),
+            rtol=1e-5,
+            atol=float(jnp.max(err_ein)) * 1e-12,
+        )
+
+    def test_direct_estimator_rejects_bad_impl(self, system, sys_obj):
+        from morfem_tpu.mor.estimator import estimate_errors_direct
+        from morfem_tpu import project
+
+        q = jnp.zeros((system[1].shape[0], 4), jnp.float64)
+        rm = project(sys_obj, q, jnp.asarray(0))
+        u = jnp.zeros((3,) + q.shape, jnp.float64)
+        with pytest.raises(ValueError, match="impl"):
+            estimate_errors_direct(rm, u, sys_obj.b, CFG, impl="fast")
+        with pytest.raises(ValueError, match="estimator_impl"):
+            MorfemConfig(estimator_impl="fast")
+
+    def test_greedy_matches_across_estimator_impls(self, system, sys_obj):
+        """estimator_impl only changes HOW the residual product is
+        computed; the greedy must pick the same points either way."""
+        res_e = greedy_basis(sys_obj, CFG.replace(estimator_impl="einsum"))
+        res_o = greedy_basis(sys_obj, CFG.replace(estimator_impl="ozaki"))
+        assert int(res_e.ncols) == int(res_o.ncols)
+        np.testing.assert_allclose(
+            np.asarray(res_e.q), np.asarray(res_o.q), rtol=0, atol=1e-9
+        )
+
     def test_greedy_direct_vs_gram_same_result(self, system, sys_obj):
         res_d = greedy_basis(sys_obj, CFG.replace(estimator="direct"))
         res_g = greedy_basis(sys_obj, CFG.replace(estimator="gram"))
