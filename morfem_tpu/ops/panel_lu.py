@@ -612,6 +612,15 @@ def solve_sweep_panel(sys, config: MorfemConfig = DEFAULT_CONFIG):
             # stagnated short of a sound residual (block pivoting's
             # element growth is unbounded on ill-conditioned diagonal
             # blocks — the residual check is what makes it safe).
+            # panel_trail="fast" here means the FIRST factor's trailing
+            # updates are bf16x3: ~2.2× cheaper per factor in isolation,
+            # but end-to-end on the bundled waveguide (N=3411, I=100,
+            # chunk=20) it measured 3.18 s vs 1.52 s for "accurate" —
+            # block-pivot + f32x3 refinement diverges on most chunks of
+            # the physical system and every escalated chunk pays BOTH
+            # factors. That whole-sweep A/B (round 3, v5e) is why
+            # "accurate" stays the default; "fast" only wins when the
+            # sweep is known well-conditioned.
             first_trail = (
                 "f32x3" if config.panel_trail == "fast" else "f32x6"
             )
