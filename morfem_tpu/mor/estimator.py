@@ -258,15 +258,29 @@ def estimate_errors_direct(
             ux = jnp.moveaxis(
                 ys.reshape(3, u.shape[1], ch, m_rhs), 2, 1
             )  # [3, chunk, N, M]
+            r = (
+                sum(cc[:, p, None, None] * ux[p] for p in range(3))
+                - cbc[:, None, None] * b
+            )
         else:
-            ux = jnp.einsum("pnk,ikm->pinm", u, xc, precision=_HI)
-        # weighted sum over the length-3 operator axis ELEMENTWISE (a dot
-        # would route the 3-term contraction through the f64 matmul
-        # emulation — compile- and runtime-expensive for nothing)
-        r = (
-            sum(cc[:, p, None, None] * ux[p] for p in range(3))
-            - cbc[:, None, None] * b
-        )
+            # fold the operator axis into the contraction: concatenate
+            # U_p along K and scale x by c_p per point, so the whole
+            # 3-term sum is ONE [N,3K]×[3K,M] product. Against the
+            # p-batched einsum + elementwise weighted sum this compiles
+            # 5.5× cheaper on the TPU backend (2.4 s vs 13.2 s isolated;
+            # the emulated-f64 HIGHEST expansion is per-dot-instance) at
+            # identical results to 3e-14 and equal runtime (round-3
+            # isolated probe; whole-greedy A/B below confirms).
+            ch = xc.shape[0]
+            n_rows, k_b = u.shape[1], u.shape[2]
+            ucat = jnp.moveaxis(u, 0, 1).reshape(n_rows, 3 * k_b)
+            xcat = (cc[:, :, None, None] * xc[:, None]).reshape(
+                ch, 3 * k_b, xc.shape[-1]
+            )
+            r = (
+                jnp.einsum("nk,ikm->inm", ucat, xcat, precision=_HI)
+                - cbc[:, None, None] * b
+            )
         # err = ‖RᴴR‖_F (reference norm semantics, implementation.py:424),
         # computed SCALE-INVARIANTLY: TPU's emulated f64 is a double-f32
         # pair whose multiply squares the hi word — any factor beyond
