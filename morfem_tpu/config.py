@@ -49,11 +49,13 @@ class MorfemConfig:
         always partial pivoting over all remaining rows; `panel_width` —
         the blocked factor's panel size (multiple of 128; wider panels
         mean fewer sequential steps and fatter trailing GEMMs per step,
-        at more padded work when N is far from a multiple). Default 256:
-        measured 15% faster than 128 for the block-pivot factor at
-        N=3456 on the v5e (9.9 vs 11.7 ms/matrix at G=16). The
-        full-pivot factor clamps wide panels back to 128 when its Pallas
-        kernel's P×N VMEM buffers would not fit (N ≳ 2.4k).
+        at more padded work when N is far from a multiple). Default 384:
+        the full-order waveguide sweep (N=3411, I=100, chunk=20) on the
+        v5e measured 1.730/1.500/1.425/1.716 s at widths
+        128/256/384/512 — wider panels win until the padded trailing
+        work at N far from a multiple eats the gain. The full-pivot
+        factor clamps wide panels back to 128 when its Pallas kernel's
+        P×N VMEM buffers would not fit (N ≳ 2.4k).
       use_equally_distributed: select the equally-distributed basis strategy
         instead of the greedy one (reference: implementation.py:13, :175).
       equally_distributed_reduction_rate: fraction of domain points NOT used
@@ -153,7 +155,7 @@ class MorfemConfig:
     band_max_half: int = 2048
     panel_trail: str = "accurate"
     panel_pivot: str = "block"
-    panel_width: int = 256
+    panel_width: int = 384
 
     def __post_init__(self):
         if self.panel_trail not in ("accurate", "fast"):
