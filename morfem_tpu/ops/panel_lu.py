@@ -38,10 +38,29 @@ from jax import lax
 
 from morfem_tpu.config import MorfemConfig, DEFAULT_CONFIG
 from morfem_tpu.ops.pallas.panel_factor import panel_factor
+from morfem_tpu.ops.pallas.fused_mm import fusable, mm_words
 from morfem_tpu.ops.precision import matmul_f32_accurate, split_bf16
 
 _HI = jax.lax.Precision.HIGHEST
 PANEL = 128
+
+
+def _mm_true(c, r, t=None, sign=1):
+    """f32-true c@r (+t, ×sign): fused one-output-pass Pallas kernel when
+    the shape qualifies (`fused_mm.fusable`), XLA 6-pass otherwise.
+
+    The fused path cuts the trailing-update HBM traffic to the matmul
+    minimum — on-chip A/B at [16,3072,384]@[16,384,3072]: 29.2 ms vs
+    37.8 ms XLA, with larger relative wins at the smaller shrinking-W
+    steps (round 3 probe: the 6-vs-3-pass delta was ~103 ms/chunk,
+    i.e. accumulation-bandwidth-bound).
+    """
+    if fusable(*c.shape[-2:], r.shape[-1]):
+        return mm_words(c, r, t, sign=sign)
+    out = matmul_f32_accurate(c, r)
+    if t is None:
+        return out if sign > 0 else -out
+    return t + sign * out
 
 
 def _round_up(x: int, m: int) -> int:
@@ -230,7 +249,7 @@ def panel_lu_factor(
             rows = pivot_rows_mxu(tr, piv, np_, words=words)  # [G, P, W]
             cmat = jnp.swapaxes(c_t, 1, 2)  # [G, Np, P]
             if trail == "f32x6":
-                rest = tr + matmul_f32_accurate(cmat, rows)
+                rest = _mm_true(cmat, rows, t=tr)
             else:
                 rest = tr + jnp.matmul(
                     cmat, rows, precision=jax.lax.Precision.HIGH
@@ -310,10 +329,16 @@ def panel_lu_factor_block(
         a32 = a32.at[:, eye_idx, eye_idx].set(1.0)
 
     if trail == "f32x6":
-        mmt = matmul_f32_accurate
+        mmt = _mm_true
+
+        def mmt_sub(t, x, y):  # t − x@y, one output pass when fusable
+            return _mm_true(x, y, t=t, sign=-1)
     else:
         def mmt(x, y):
             return jnp.matmul(x, y, precision=jax.lax.Precision.HIGH)
+
+        def mmt_sub(t, x, y):
+            return t - mmt(x, y)
 
     take = jax.vmap(lambda m, i: jnp.take(m, i, axis=0))
     eye = jnp.eye(panel, dtype=jnp.float32)
@@ -345,7 +370,7 @@ def panel_lu_factor_block(
             a12p = take(rest[:, :panel, panel:], piv)  # [G, P, W]
             u12 = mmt(linv, a12p)
             l21 = mmt(rest[:, panel:, :panel], uinv)  # [G, W, P]
-            rest = rest[:, panel:, panel:] - mmt(l21, u12)
+            rest = mmt_sub(rest[:, panel:, panel:], l21, u12)
             row_block = jnp.concatenate([lu_d, u12], axis=2)
             out = lax.dynamic_update_slice(
                 out, row_block, (0, k * panel, k * panel)

@@ -79,6 +79,22 @@ def main() -> None:
     err = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
     check("reduced_sweep GJ kernel (f32)", err, 1e-4)
 
+    # --- fused multi-word GEMM kernel vs the XLA 6-pass scheme ---
+    from morfem_tpu.ops.pallas.fused_mm import mm_words
+    from morfem_tpu.ops.precision import matmul_f32_accurate
+
+    gf, mf, kf, nf = 2, 256, 128, 384
+    cf = jnp.asarray(rng.standard_normal((gf, mf, kf)), jnp.float32)
+    rf = jnp.asarray(rng.standard_normal((gf, kf, nf)), jnp.float32)
+    tf = jnp.asarray(rng.standard_normal((gf, mf, nf)), jnp.float32)
+    got = np.asarray(mm_words(cf, rf, tf, sign=-1), np.float64)
+    want = np.asarray(tf, np.float64) - np.einsum(
+        "gmk,gkn->gmn", np.asarray(cf, np.float64),
+        np.asarray(rf, np.float64),
+    )
+    err = np.abs(got - want).max() / np.abs(want).max()
+    check("fused mm_words kernel (f32-true)", err, 5e-6)
+
     # --- panel LU kernel: factor + refined solve round trip ---
     from morfem_tpu.config import MorfemConfig
     from morfem_tpu.ops.panel_lu import solve_batch_panel
