@@ -54,13 +54,18 @@ def _split_words(x, words):
     zero a word (the `split_bf16` landmine).
     """
     parts = []
-    mask = jnp.int32(-65536)  # 0xFFFF0000
-    half = jnp.int32(0x8000)
+    mask = jnp.uint32(0xFFFF0000)
+    half = jnp.uint32(0x8000)
     r = x
     for _ in range(words):
-        bits = jax.lax.bitcast_convert_type(r, jnp.int32)
+        bits = jax.lax.bitcast_convert_type(r, jnp.uint32)
         h32 = jax.lax.bitcast_convert_type((bits + half) & mask,
                                            jnp.float32)
+        # the +half carry on a NaN payload >= 0x7FFF8000 rolls into the
+        # sign bit (0x80000000 = -0.0), silently turning NaN into 0 in
+        # the product; select keeps NaN words NaN so they propagate like
+        # split_bf16/reduce_precision does
+        h32 = jnp.where(jnp.isnan(r), r, h32)
         parts.append(h32.astype(jnp.bfloat16))
         r = r - h32
     return parts
@@ -119,11 +124,19 @@ def mm_words(
     g2, k2, n = r.shape
     if g != g2 or k != k2:
         raise ValueError(f"shape mismatch {c.shape} @ {r.shape}")
+    if k % 128:
+        raise ValueError(
+            f"mm_words needs K a lane multiple (128), got K={k}"
+        )
+    if t is not None and t.shape != (g, m, n):
+        raise ValueError(
+            f"addend shape {t.shape} != {(g, m, n)}"
+        )
     f32 = jnp.float32
-    # VMEM budget per program: c tile (f32 + words·bf16 ≈ 2.5×f32),
-    # r tile likewise, plus t/o/acc tiles
+    # VMEM budget per program: each operand tile lives as f32 plus
+    # `words` bf16 word copies (4 + 2·words bytes/elt), plus t/o/acc
     def vmem_bytes(tm, tn):
-        per = 2.5 * 4
+        per = 4 + 2 * words
         out_n = (2 if t is None else 3) * tm * tn * 4
         return per * (tm * k + k * tn) + out_n
 
@@ -167,23 +180,24 @@ def mm_words(
             words=words, sign=sign,
         )
     npasses = words * (words + 1) // 2
-    out2d = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (tm, tn), lambda gi, i, j: (gi * (m // tm) + i, j),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((g * m, n), f32),
-        cost_estimate=pl.CostEstimate(
-            flops=npasses * 2 * g * m * n * k,
-            bytes_accessed=int(
-                2.5 * 4 * g * (m * k * ni + k * n * mi)
-                + (2 if t is None else 3) * 4 * g * m * n
+    with jax.enable_x64(False):  # x64 tracing emits i64 Mosaic can't lower
+        out2d = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (tm, tn), lambda gi, i, j: (gi * (m // tm) + i, j),
+                memory_space=pltpu.VMEM,
             ),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(*operands)
+            out_shape=jax.ShapeDtypeStruct((g * m, n), f32),
+            cost_estimate=pl.CostEstimate(
+                flops=npasses * 2 * g * m * n * k,
+                bytes_accessed=int(
+                    (4 + 2 * words) * g * (m * k * ni + k * n * mi)
+                    + (2 if t is None else 3) * 4 * g * m * n
+                ),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(*operands)
     return out2d.reshape(g, m, n)

@@ -58,9 +58,18 @@ def test_mm_words_matches_xla_scheme(mats):
 
 
 def test_fusable_gate():
-    # backend is cpu in the test env — gate must refuse
-    assert jax.default_backend() == "cpu"
+    if jax.default_backend() != "cpu":
+        pytest.skip("gate's False branch only observable off-TPU; the "
+                    "True branch is asserted in tools/onchip_smoke.py")
     assert not fusable(256, 128, 384)
+
+
+def test_mm_words_nan_propagates(mats):
+    c, r, _, _ = mats
+    c_nan = c.at[0, 0, 0].set(jnp.nan)
+    out = mm_words(c_nan, r, None, interpret=True)
+    assert np.isnan(np.asarray(out[0, 0])).all()  # whole affected row
+    assert np.isfinite(np.asarray(out[1])).all()  # other batch untouched
 
 
 def test_mm_words_bad_shapes():
@@ -73,5 +82,19 @@ def test_mm_words_bad_shapes():
             jnp.zeros((1, 256, 128), jnp.float32),
             jnp.zeros((2, 128, 256), jnp.float32),  # G mismatch
             None,
+            interpret=True,
+        )
+    with pytest.raises(ValueError):  # K not a lane multiple
+        mm_words(
+            jnp.zeros((1, 256, 100), jnp.float32),
+            jnp.zeros((1, 100, 256), jnp.float32),
+            None,
+            interpret=True,
+        )
+    with pytest.raises(ValueError):  # addend layout mismatch
+        mm_words(
+            jnp.zeros((1, 256, 128), jnp.float32),
+            jnp.zeros((1, 128, 256), jnp.float32),
+            jnp.zeros((1, 256, 256), jnp.float32).reshape(256, 1, 256),
             interpret=True,
         )
