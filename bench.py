@@ -17,6 +17,16 @@ Measures, on the real device (TPU when available):
 
 Prints exactly ONE JSON line to stdout:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+METHODOLOGY (STABLE as of round 4 — do not change the headline definition):
+  headline = median full-order sweep wall time (warm, >=3 reps, scalar
+  readback sync) / dispatch-amortized device time of one auto/spectral
+  reduced sweep (x256 data-dependent chain inside one jit, latency floor
+  subtracted). The single-dispatch wall time, the latency floor, and the
+  LU-path sweep time are always reported alongside in extras so the
+  headline can be cross-checked. This is the round-3 definition; rounds
+  1-2 used the single-dispatch wall number (floor-bound ~55x on the axon
+  tunnel), so compare vs_baseline across rounds >= 3 only.
 """
 
 import json
@@ -126,11 +136,15 @@ def main():
     full_fn = jax.jit(lambda s: solve_sweep(s, cfg)).lower(sys_).compile()
     x_full = full_fn(sys_)
     float(jnp.sum(x_full))  # warm-up: first call pays executable load
-    t0 = time.perf_counter()
-    x_full = full_fn(sys_)
-    float(jnp.sum(x_full))  # scalar readback: the only reliable device sync
-    t_full = time.perf_counter() - t0
-    log(f"full-order sweep ({N_POINTS} pts, warm): {t_full:.3f} s")
+    full_times = []
+    for _ in range(3):  # median: the tunnel has several-ms jitter
+        t0 = time.perf_counter()
+        x_full = full_fn(sys_)
+        float(jnp.sum(x_full))  # scalar readback: the only reliable sync
+        full_times.append(time.perf_counter() - t0)
+    t_full = float(np.median(full_times))
+    log(f"full-order sweep ({N_POINTS} pts, warm, median of 3): "
+        f"{t_full:.3f} s")
 
     # ---- reduced model build (greedy): compile and run timed apart ----
 
@@ -346,6 +360,82 @@ def main():
         f"({fac_tflops:.2f} TFLOP/s effective)"
     )
 
+    # ---- large-N banded-direct MOR end-to-end (BASELINE config 3) ----
+    # The reference's ~34k-DOF stress case is the rate-10 block-diagonal
+    # upscale (fake_interpolate_bigger_sample.py:1-34) solved by splu at
+    # any N (implementation.py:474-476); the TPU-native equivalent is the
+    # matrix-free route through morfem(): RCM-banded block-tridiagonal
+    # direct snapshot solves + matvec-only greedy estimator. Guarded:
+    # a failure here must not redden the headline.
+    banded_extras = {}
+    try:
+        from morfem_tpu import morfem as morfem_api
+        from morfem_tpu.apps.waveguide import GAMMA_SCALE
+        from morfem_tpu.ops.block_tridiag import (
+            banded_direct_solve,
+            banded_via_rcm,
+        )
+        from morfem_tpu.utils.synthetic import banded_waveguide_system_2d
+
+        # 2-D P1-FEM cross-section, N = p² ≈ 34k: the 1-D chain at this N
+        # is either too ill-conditioned (long mesh) or too modally dense
+        # (short mesh) — see banded_waveguide_system_2d's docstring. The
+        # 2-D pencil has cond ~ N and ~11 in-band resonances: the same
+        # physics regime as the bundled N=3411 problem.
+        bp = int(os.environ.get("BENCH_BANDED_P", 185))
+        c_sp, tt_sp, wp = banded_waveguide_system_2d(bp, m=2, seed=1)
+        bn = c_sp.shape[0]
+        gamma_sp = (tt_sp * GAMMA_SCALE).tocsr()
+        zero_sp = 0.0 * c_sp
+        cfg_b = MorfemConfig(error_threshold=1e-8)
+        t0 = time.perf_counter()
+        xb, qb, *_ = morfem_api(
+            freq, c_sp, zero_sp, gamma_sp, wp, config=cfg_b
+        )
+        jax.block_until_ready(xb)
+        t_banded = time.perf_counter() - t0
+        nr_b = qb.shape[1]
+        # oracle: banded full-order direct solves at a grid subset
+        op_b, perm_b = banded_via_rcm(
+            c_sp, zero_sp, gamma_sp, symmetrize=cfg_b.symmetrize
+        )
+        b_dev = jnp.asarray(wp)[perm_b]
+        idx = np.linspace(0, N_POINTS - 1, 7, dtype=int)
+        solve_b = jax.jit(
+            lambda c, cb: banded_direct_solve(op_b, c, cb * b_dev, cfg_b)[0]
+        )
+        t_vals = jnp.asarray(freq)[idx]
+        cs_b = jnp.stack(
+            [jnp.ones_like(t_vals), t_vals, t_vals**2], axis=-1
+        )
+        cbs_b = t_vals
+        t0 = time.perf_counter()
+        x_oracle = jnp.stack(
+            [solve_b(cs_b[j], cbs_b[j]) for j in range(len(idx))]
+        )
+        float(jnp.sum(x_oracle))
+        t_oracle = (time.perf_counter() - t0) / len(idx)
+        qb_perm = jnp.asarray(qb)[perm_b]  # oracle lives in RCM order
+        rec_b = jnp.einsum("nk,ikm->inm", qb_perm, xb[idx])
+        rel_b = float(
+            jnp.linalg.norm(rec_b - x_oracle) / jnp.linalg.norm(x_oracle)
+        )
+        log(
+            f"banded-direct MOR N={bn}: build+sweep {t_banded:.1f} s "
+            f"(Nr={nr_b}), rel err vs banded oracle {rel_b:.2e}, oracle "
+            f"full-order solve {t_oracle*1e3:.0f} ms/pt (incl dispatch)"
+        )
+        banded_extras = {
+            "banded_n_dof": bn,
+            "banded_mor_total_s": round(t_banded, 2),
+            "banded_basis_size": int(nr_b),
+            "banded_rel_error_vs_oracle": rel_b,
+            "banded_full_order_ms_per_point": round(t_oracle * 1e3, 1),
+        }
+    except Exception as e:  # pragma: no cover - diagnostic path
+        log(f"banded-direct extra FAILED: {type(e).__name__}: {e}")
+        banded_extras = {"banded_error": f"{type(e).__name__}: {e}"}
+
     result = {
         "metric": "reduced_sweep_speedup_vs_full_order",
         "value": round(speedup, 2),
@@ -379,6 +469,7 @@ def main():
             "gj_identity_residual": gj_res,
             "panel_factor_ms_per_matrix": round(t_fac * 1e3, 2),
             "panel_factor_tflops": round(fac_tflops, 2),
+            **banded_extras,
             "device": str(jax.devices()[0]),
         },
     }

@@ -92,10 +92,10 @@ def main():
         sidx = jnp.asarray(seed_indices(args.points, cfg, count=args.seeds))
         coeffs = (sys_.t_a0, sys_.t_a1, sys_.t_a2, sys_.t_b)
         q = sparse_snapshot_basis(
-            a0s, a1s, a2s, jnp.asarray(b), sys_.domain, sidx, coeffs, cfg,
+            (a0s, a1s, a2s), jnp.asarray(b), sys_.domain, sidx, coeffs, cfg,
             tol=1e-10,
         )
-        (r0, r1, r2), b_r = sparse_project(a0s, a1s, a2s, b, q)
+        (r0, r1, r2), b_r = sparse_project((a0s, a1s, a2s), b, q)
         rm = ReducedModel(
             domain=sys_.domain, q=q, r0=r0, r1=r1, r2=r2, b_r=b_r,
             ncols=jnp.asarray(q.shape[1]),

@@ -137,10 +137,13 @@ def morfem(
         BCOO+Krylov when the sparsity is not band-recoverable) — the
         reference's always-sparse splu behaviour; smaller systems are
         densified for the batched MXU pipeline. COMPLEX sparse operators
-        ride the interleaved real 2N embedding automatically (real
-        coefficient callables and symmetrize=False required; the
-        returned q is complex [N, Nr], x stays real reduced coords —
-        einsum("nk,ikm->inm", q, x) gives the complex solutions).
+        AND complex coefficient callables ride the interleaved real 2N
+        embedding automatically (symmetrize=False required; complex
+        coefficients split into Re/Im operator addends, a complex t_b
+        folds in as |t_b| × per-point phase — see
+        `_morfem_matfree_complex`). The returned q is complex [N, Nr];
+        x is real except when t_b is complex;
+        einsum("nk,ikm->inm", q, x) gives the complex solutions.
       b: [N, M] impulse-vector part.
       t_a0, t_a1, t_a2, t_b: JAX-traceable coefficient callables; defaults
         1, t, t², t.
@@ -174,43 +177,19 @@ def morfem(
         complex_input = any(
             np.iscomplexobj(getattr(m, "data", m)) for m in (a0, a1, a2)
         ) or np.iscomplexobj(getattr(b, "data", b))
-        if complex_input:
-            # splu is dtype-generic (implementation.py:474-476); the
-            # TPU-native equivalent is the INTERLEAVED sparse real 2N
-            # embedding (band structure preserved, ops/complex_split.py) —
-            # the whole real matrix-free pipeline then runs unchanged and
-            # the basis deinterleaves back to complex.
-            from morfem_tpu.ops.complex_split import (
-                deinterleave,
-                embed_rhs_interleaved,
-                embed_sparse_interleaved,
-            )
+        from morfem_tpu.ops.complex_split import eval_coefficient_table
 
-            if config.symmetrize:
-                raise ValueError(
-                    "complex sparse operators: the real embedding is "
-                    "non-symmetric; run with config.symmetrize=False "
-                    "(the (A+Aᵀ)/2 step would change the problem)"
-                )
-            t_probe = np.asarray(domain)[:1]
-            for name, fn in (
-                ("t_a0", t_a0), ("t_a1", t_a1), ("t_a2", t_a2), ("t_b", t_b)
-            ):
-                if np.iscomplexobj(np.asarray(fn(jnp.asarray(t_probe)))):
-                    raise ValueError(
-                        f"complex sparse operators need REAL-valued "
-                        f"coefficient callables ({name} returned complex; "
-                        "fold the phase into the operators instead)"
-                    )
-            e0, e1, e2 = (
-                embed_sparse_interleaved(m) for m in (a0, a1, a2)
+        tables = [
+            eval_coefficient_table(domain, fn)
+            for fn in (t_a0, t_a1, t_a2, t_b)
+        ]
+        coeffs_complex = any(
+            np.iscomplexobj(t) and np.any(t.imag != 0) for t in tables
+        )
+        if complex_input or coeffs_complex:
+            return _morfem_matfree_complex(
+                domain, a0, a1, a2, b, tables, config, timer
             )
-            be = embed_rhs_interleaved(b)
-            x, q_e, r0, r1, r2, b_r = _morfem_matfree(
-                domain, e0, e1, e2, be, t_a0, t_a1, t_a2, t_b, config,
-                timer,
-            )
-            return x, deinterleave(np.asarray(q_e)), r0, r1, r2, b_r
         return _morfem_matfree(
             domain, a0, a1, a2, b, t_a0, t_a1, t_a2, t_b, config, timer
         )
@@ -265,8 +244,87 @@ def _morfem_embedded_dense(
     return x, q_c, rm.r0, rm.r1, rm.r2, rm.b_r
 
 
+def _morfem_matfree_complex(domain, a0, a1, a2, b, tables, config, timer):
+    """Complex `morfem()` — complex operators AND/OR complex coefficient
+    callables — on the interleaved real 2N embedding, matrix-free.
+
+    `splu` is fully dtype-generic (implementation.py:468-480); the
+    TPU-native equivalent, by part:
+
+    * complex OPERATORS embed as interleaved real 2×2 rotation blocks —
+      band structure preserved (`embed_sparse_interleaved`);
+    * complex operator COEFFICIENTS split into two real terms each,
+      E(c·A) = Re(c)·E(A) + Im(c)·E(i·A), carried as extra operator
+      addends through the P-generic matrix-free pipeline
+      (greedy_basis_matfree t_extra / ReducedModel.r_extra);
+    * a complex t_b folds EXACTLY into the real pipeline: solve with the
+      real coefficient |t_b(t)| and multiply the reduced solutions by the
+      unit phase t_b/|t_b| per point afterwards (A·x = c·b ⇔ x = phase·y
+      with A·y = |c|·b) — the estimator's residual weighting |t_b| is
+      untouched, so greedy point selection is identical to the complex
+      problem's.
+
+    ``tables`` are the coefficient callables pre-evaluated over the
+    domain grid on the host (`eval_coefficient_table`) — complex128
+    cannot be traced on TPU, so the pipeline carries exact grid-lookup
+    callables instead; evaluating the returned model OFF the original
+    grid is not supported (re-run `morfem` on the new grid).
+
+    Returns (x, q, r0, r1, r2, b_r): q complex [N, Nr]; x reduced
+    coordinates — COMPLEX when t_b is complex (phase folded in), real
+    otherwise; ``einsum("nk,ikm->inm", q, x)`` gives the complex
+    solutions. r0/r1/r2/b_r are the PRIMARY embedded reduced operators
+    (Im-part extras live inside the internal sweep); for complex systems
+    the authoritative artifacts are (x, q).
+    """
+    import numpy as np
+
+    from morfem_tpu.ops.complex_split import (
+        deinterleave,
+        embed_rhs_interleaved,
+        embed_sparse_interleaved,
+        grid_lookup_coefficient,
+    )
+
+    if config.symmetrize:
+        raise ValueError(
+            "complex sparse systems: the real embedding is "
+            "non-symmetric; run with config.symmetrize=False "
+            "(the (A+Aᵀ)/2 step would change the problem)"
+        )
+    ca, cb = tables[:3], tables[3]
+    mats = [embed_sparse_interleaved(m) for m in (a0, a1, a2)]
+    fns = [grid_lookup_coefficient(domain, np.real(t)) for t in ca]
+    extra = []
+    for m, t in zip((a0, a1, a2), ca):
+        if np.iscomplexobj(t) and np.any(t.imag != 0):
+            extra.append((
+                embed_sparse_interleaved(1j * m),
+                grid_lookup_coefficient(domain, np.imag(t)),
+            ))
+    cb_complex = np.iscomplexobj(cb) and np.any(cb.imag != 0)
+    if cb_complex:
+        cb_abs = np.abs(cb)
+        phase = np.where(cb_abs > 0, cb / np.where(cb_abs > 0, cb_abs, 1.0),
+                         1.0)
+        tb_fn = grid_lookup_coefficient(domain, cb_abs)
+    else:
+        tb_fn = grid_lookup_coefficient(domain, np.real(cb))
+    be = embed_rhs_interleaved(b)
+    x, q_e, r0, r1, r2, b_r = _morfem_matfree(
+        domain, mats[0], mats[1], mats[2], be,
+        fns[0], fns[1], fns[2], tb_fn, config, timer,
+        extra_terms=tuple(extra),
+    )
+    q = deinterleave(np.asarray(q_e))
+    if cb_complex:
+        x = np.asarray(x) * phase[:, None, None]
+    return x, q, r0, r1, r2, b_r
+
+
 def _morfem_matfree(
-    domain, a0, a1, a2, b, t_a0, t_a1, t_a2, t_b, config, timer
+    domain, a0, a1, a2, b, t_a0, t_a1, t_a2, t_b, config, timer,
+    extra_terms=(),
 ):
     """Matrix-free `morfem()` for large sparse systems (same contract).
 
@@ -276,6 +334,11 @@ def _morfem_matfree(
     (definite/diagonally-dominant systems; achieved residuals are
     checked and warned about). The returned q is in the CALLER'S row
     ordering regardless of the internal permutation.
+
+    ``extra_terms``: optional ((matrix, coefficient_callable), …) operator
+    addends BEYOND the classic 3-term pencil — the complex-coefficient
+    route feeds the Im-part embeddings through here (P-generic operators
+    and estimator downstream).
     """
     import numpy as np
     import scipy.sparse as sp
@@ -300,9 +363,11 @@ def _morfem_matfree(
     if b.ndim == 1:
         b = b[:, None]
     n = b.shape[0]
+    extra_mats = [m for m, _ in extra_terms]
+    t_extra = tuple(fn for _, fn in extra_terms)
     mats = [
         m if sp.issparse(m) else sp.csr_matrix(np.asarray(m))
-        for m in (a0, a1, a2)
+        for m in (a0, a1, a2, *extra_mats)
     ]
     perm = None
     with timer.phase("operator setup"):
@@ -324,12 +389,12 @@ def _morfem_matfree(
             )
             op = GeneralSparseOperator(exact_op, band_op, dropped=dropped)
             b_op = b[perm]
-    coeffs = (t_a0, t_a1, t_a2, t_b)
+    coeffs = (t_a0, t_a1, t_a2, *t_extra, t_b)
     with timer.phase("projection base"):
         if config.use_equally_distributed:
             idx = seed_indices(int(domain.shape[0]), config)
             q_op = sparse_snapshot_basis(
-                *mats, b_op, domain, jnp.asarray(idx), coeffs,
+                mats, b_op, domain, jnp.asarray(idx), coeffs,
                 config=config, op=op,
             )
             if perm is not None:
@@ -337,15 +402,19 @@ def _morfem_matfree(
                          for m in mats]
             else:
                 pmats = mats
-            (r0, r1, r2), b_r = sparse_project(*pmats, b_op, q_op)
+            (r0, r1, r2, *r_extra), b_r = sparse_project(
+                pmats, b_op, q_op
+            )
             rm = ReducedModel(
                 domain=domain, q=q_op, r0=r0, r1=r1, r2=r2, b_r=b_r,
                 ncols=jnp.asarray(q_op.shape[1]),
                 t_a0=t_a0, t_a1=t_a1, t_a2=t_a2, t_b=t_b,
+                r_extra=tuple(r_extra), t_extra=t_extra,
             )
         else:
             _, rm = greedy_basis_matfree(
-                op, b_op, domain, t_a0, t_a1, t_a2, t_b, config=config
+                op, b_op, domain, t_a0, t_a1, t_a2, t_b, config=config,
+                t_extra=t_extra,
             )
             q_op = rm.q
     rm = rm.trim()

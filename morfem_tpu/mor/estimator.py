@@ -187,7 +187,7 @@ def estimate_errors_direct(
 
     Args:
       rm: reduced model (padded).
-      u: [3, N, K] stack U_p = A_p·Q from `estimator_blocks` / projection.
+      u: [P, N, K] stack U_p = A_p·Q (P = 3 + len(rm.r_extra)) from `estimator_blocks` / projection.
       b: [N, M] impulse part.
       impl: residual-product backend; None (default) reads
         ``config.estimator_impl``. "einsum" — emulated-f64 HIGHEST
@@ -242,7 +242,8 @@ def estimate_errors_direct(
         widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
         return jnp.pad(arr, widths)
 
-    c_ch = pad0(c).reshape((-1, chunk, 3))
+    n_add = c.shape[-1]  # addend count P (3 classic; 6 complex-coeff)
+    c_ch = pad0(c).reshape((-1, chunk, n_add))
     cb_ch = pad0(cb).reshape((-1, chunk))
     x_ch = pad0(x).reshape((-1, chunk) + x.shape[1:])
 
@@ -254,12 +255,12 @@ def estimate_errors_direct(
 
             ch, k_b, m_rhs = xc.shape
             xf = jnp.moveaxis(xc, 0, 1).reshape(k_b, ch * m_rhs)
-            ys = ozaki_apply(prep, xf)  # [3, N, chunk·M] f64-true
+            ys = ozaki_apply(prep, xf)  # [P, N, chunk·M] f64-true
             ux = jnp.moveaxis(
-                ys.reshape(3, u.shape[1], ch, m_rhs), 2, 1
-            )  # [3, chunk, N, M]
+                ys.reshape(n_add, u.shape[1], ch, m_rhs), 2, 1
+            )  # [P, chunk, N, M]
             r = (
-                sum(cc[:, p, None, None] * ux[p] for p in range(3))
+                sum(cc[:, p, None, None] * ux[p] for p in range(n_add))
                 - cbc[:, None, None] * b
             )
         else:
@@ -273,9 +274,9 @@ def estimate_errors_direct(
             # isolated probe; whole-greedy A/B below confirms).
             ch = xc.shape[0]
             n_rows, k_b = u.shape[1], u.shape[2]
-            ucat = jnp.moveaxis(u, 0, 1).reshape(n_rows, 3 * k_b)
+            ucat = jnp.moveaxis(u, 0, 1).reshape(n_rows, n_add * k_b)
             xcat = (cc[:, :, None, None] * xc[:, None]).reshape(
-                ch, 3 * k_b, xc.shape[-1]
+                ch, n_add * k_b, xc.shape[-1]
             )
             r = (
                 jnp.einsum("nk,ikm->inm", ucat, xcat, precision=_HI)

@@ -58,8 +58,12 @@ _HI = jax.lax.Precision.HIGHEST
 def _reduced_from_u_matfree(
     domain, q, ncols, u, b, coeffs
 ) -> ReducedModel:
-    """Galerkin projection reusing U_p = A_p·Q (plain transpose form)."""
-    t_a0, t_a1, t_a2, t_b = coeffs
+    """Galerkin projection reusing U_p = A_p·Q (plain transpose form).
+
+    ``coeffs`` is (t_a0, t_a1, t_a2, *t_extra, t_b) matching ``u``'s
+    leading addend axis [P, N, K]; addends beyond the classic 3 land in
+    ``ReducedModel.r_extra``."""
+    t_a0, t_a1, t_a2, *t_extra, t_b = coeffs
     mask = column_mask(q.shape[1], ncols, q.dtype)
     qmt = (q * mask).T
     return ReducedModel(
@@ -74,6 +78,9 @@ def _reduced_from_u_matfree(
         t_a1=t_a1,
         t_a2=t_a2,
         t_b=t_b,
+        r_extra=tuple(precise_matmul(qmt, u[3 + j])
+                      for j in range(len(t_extra))),
+        t_extra=tuple(t_extra),
     )
 
 
@@ -89,6 +96,7 @@ def greedy_basis_matfree(
     snapshot_tol: float = 1e-10,
     snapshot_maxiter: int = 2000,
     method: str = "auto",
+    t_extra=(),
 ) -> Tuple[GreedyResult, ReducedModel]:
     """Greedy MOR basis for a matrix-free affine operator.
 
@@ -102,6 +110,10 @@ def greedy_basis_matfree(
       b: [N, M] dense impulse part.
       domain: [I] parameter grid.
       t_a0..t_b: coefficient callables (reference defaults 1, t, t², t).
+      t_extra: coefficient callables for operator addends BEYOND the
+        classic 3 (the operator must carry matching extra addends) —
+        how complex-coefficient systems ride the interleaved embedding
+        (mor/api.py builds P=6 here).
       config: greedy knobs (threshold, max iterations, orthonormalization,
         dependency_tolerance) — `estimator` is implicitly "direct"; the
         Gram variant would square the operator scale for no benefit here.
@@ -117,7 +129,14 @@ def greedy_basis_matfree(
       an acceptable residual (stagnating Krylov) or a dependent snapshot
       was produced (estimator floor reached).
     """
-    coeffs = (t_a0, t_a1, t_a2, t_b)
+    coeffs = (t_a0, t_a1, t_a2, *t_extra, t_b)
+    n_add = 3 + len(t_extra)
+    op_n = getattr(op, "n_addends", n_add)
+    if op_n != n_add:
+        raise ValueError(
+            f"operator has {op_n} addends but {n_add} coefficient "
+            "callables were given (pass the extras via t_extra)"
+        )
     b = jnp.asarray(b)
     dtype = b.dtype
     n, m = b.shape
@@ -130,11 +149,7 @@ def greedy_basis_matfree(
     def coeff_at(t):
         t = jnp.asarray(t)
         c = jnp.stack(
-            [
-                jnp.asarray(t_a0(t), dtype=dtype),
-                jnp.asarray(t_a1(t), dtype=dtype),
-                jnp.asarray(t_a2(t), dtype=dtype),
-            ]
+            [jnp.asarray(fn(t), dtype=dtype) for fn in coeffs[:-1]]
         )
         return c, jnp.asarray(t_b(t), dtype=dtype)
 
@@ -150,7 +165,7 @@ def greedy_basis_matfree(
     def estimate(op, q, ncols):
         mask = column_mask(k, ncols, q.dtype)
         qm = q * mask
-        u = jnp.stack([op.apply_addend(p, qm) for p in range(3)])
+        u = jnp.stack([op.apply_addend(p, qm) for p in range(n_add)])
         rm = _reduced_from_u_matfree(domain, q, ncols, u, b, coeffs)
         err, _ = estimate_errors_direct(rm, u, b, config)
         return err, u

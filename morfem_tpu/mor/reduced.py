@@ -73,6 +73,13 @@ class ReducedModel:
     t_a1: Coefficient = dataclasses.field(metadata=dict(static=True))
     t_a2: Coefficient = dataclasses.field(metadata=dict(static=True))
     t_b: Coefficient = dataclasses.field(metadata=dict(static=True))
+    # addends BEYOND the classic 3-term pencil (reference fixes P=3;
+    # complex-coefficient systems ride the interleaved embedding as P=6,
+    # mor/api.py) — r_extra[j] pairs with t_extra[j]
+    r_extra: Tuple[jax.Array, ...] = ()
+    t_extra: Tuple[Coefficient, ...] = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
 
     @property
     def k(self) -> int:
@@ -85,12 +92,9 @@ class ReducedModel:
     def coefficients(self, t: jax.Array) -> Tuple[jax.Array, jax.Array]:
         t = jnp.asarray(t)
         ones = jnp.ones_like(t)
+        fns = (self.t_a0, self.t_a1, self.t_a2) + self.t_extra
         c = jnp.stack(
-            [
-                jnp.broadcast_to(self.t_a0(t), t.shape) * ones,
-                jnp.broadcast_to(self.t_a1(t), t.shape) * ones,
-                jnp.broadcast_to(self.t_a2(t), t.shape) * ones,
-            ],
+            [jnp.broadcast_to(fn(t), t.shape) * ones for fn in fns],
             axis=-1,
         )
         cb = jnp.broadcast_to(self.t_b(t), t.shape)
@@ -107,6 +111,7 @@ class ReducedModel:
             r2=self.r2[:nc, :nc],
             b_r=self.b_r[:nc],
             ncols=jnp.asarray(nc),
+            r_extra=tuple(r[:nc, :nc] for r in self.r_extra),
         )
 
 
@@ -163,6 +168,8 @@ def assemble_reduced(
         + c[..., 1, None, None] * rm.r1
         + c[..., 2, None, None] * rm.r2
     )
+    for j, rj in enumerate(rm.r_extra):
+        a = a + c[..., 3 + j, None, None] * rj
     if config.symmetrize:
         a = (a + jnp.swapaxes(a, -1, -2)) * 0.5
     mask = column_mask(rm.k, rm.ncols, a.dtype)

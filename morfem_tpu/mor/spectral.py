@@ -68,6 +68,12 @@ def _reject_unsupported(rm: ReducedModel, config: MorfemConfig, quadratic: bool)
     """
     import numpy as np
 
+    if rm.r_extra:
+        raise ValueError(
+            "spectral sweeps support the classic 3-term pencil only "
+            f"(model has {3 + len(rm.r_extra)} addends); use the "
+            "batched-LU sweep"
+        )
     named = [("r0", rm.r0), ("r1", rm.r1), ("r2", rm.r2), ("b_r", rm.b_r)]
     c, cb = rm.coefficients(rm.domain)
     named += [("evaluated coefficients", c), ("evaluated t_b", cb)]

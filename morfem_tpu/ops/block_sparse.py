@@ -216,9 +216,7 @@ class BlockSparseAffineOperator:
 
     def __init__(
         self,
-        a0,
-        a1,
-        a2,
+        *operands,
         symmetrize: bool = True,
         block_rows: int = 32,
         block_cols: int = 128,
@@ -227,7 +225,7 @@ class BlockSparseAffineOperator:
 
         mats = [
             m if sp.issparse(m) else sp.csr_matrix(np.asarray(m))
-            for m in (a0, a1, a2)
+            for m in operands
         ]
         if any(np.iscomplexobj(m.data) for m in mats):
             raise ValueError(
@@ -247,19 +245,19 @@ class BlockSparseAffineOperator:
         self.nbr, self.nbc = nbr, nbc
         self.brows = jnp.asarray(brows)
         self.bcols = jnp.asarray(bcols)
-        self.vals_w = jnp.asarray(vals)  # [3, nb, BR, BC] working dtype
+        self.vals_w = jnp.asarray(vals)  # [P, nb, BR, BC] working dtype
         nnz_union = int(sum(abs(m) for m in mats).nnz)
         self.inflation = vals[0].size / max(nnz_union, 1)
         self.diags = jnp.stack(
             [jnp.asarray(m.diagonal()) for m in mats]
-        )  # [3, N]
+        )  # [P, N]
+
+    @property
+    def n_addends(self) -> int:
+        return self.vals_w.shape[0]
 
     def _combined(self, c: jax.Array) -> jax.Array:
-        return (
-            c[0] * self.vals_w[0]
-            + c[1] * self.vals_w[1]
-            + c[2] * self.vals_w[2]
-        )
+        return jnp.tensordot(c, self.vals_w, axes=1)
 
     def bind(self, c: jax.Array):
         """f32 Pallas fast path, combined once — for Krylov inner loops."""
@@ -301,8 +299,7 @@ class BlockSparseAffineOperator:
         )
 
     def diagonal(self, c: jax.Array) -> jax.Array:
-        d = self.diags
-        return c[0] * d[0] + c[1] * d[1] + c[2] * d[2]
+        return jnp.tensordot(c, self.diags, axes=1)
 
 
 # jit-argument capable (buffers as parameters, not HLO constants) — see

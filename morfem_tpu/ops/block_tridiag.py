@@ -47,6 +47,7 @@ from jax import lax
 
 from morfem_tpu.config import MorfemConfig, DEFAULT_CONFIG
 from morfem_tpu.ops.precision import matmul_f32_accurate
+from morfem_tpu.ops.pallas.banded_matvec import combine_addends
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -305,7 +306,7 @@ def cyclic_reduction_apply(factors: CRFactors, rhs: jax.Array) -> jax.Array:
 
 def banded_direct_solve(
     op,  # BandedAffineOperator
-    c: jax.Array,  # [3] coefficients at this parameter point
+    c: jax.Array,  # [P] coefficients at this parameter point
     rhs: jax.Array,  # [N, M] working dtype
     config: MorfemConfig = DEFAULT_CONFIG,
     block: int | None = None,
@@ -331,9 +332,7 @@ def banded_direct_solve(
     blocks (slightly more fragile on indefinite systems — the
     refinement + shifted-GMRES escalation covers breakdowns either way).
     """
-    band_t = (
-        c[0] * op.bands_w[0] + c[1] * op.bands_w[1] + c[2] * op.bands_w[2]
-    )
+    band_t = combine_addends(c, op.bands_w)
     b = block or max(128, _round_up(op.half, 128))
     l, d, u = band_to_blocks(band_t, op.half, b)
     if factorization == "cr":
@@ -409,9 +408,7 @@ def shifted_block_precond(
 
     Returns (precond_fn [N, M] → [N, M], factors).
     """
-    band_t = (
-        c[0] * op.bands_w[0] + c[1] * op.bands_w[1] + c[2] * op.bands_w[2]
-    )
+    band_t = combine_addends(c, op.bands_w)
     b = block or max(128, _round_up(op.half, 128))
     l, d, u = band_to_blocks(band_t, op.half, b)
     scale = jnp.max(jnp.abs(op.diagonal(c)))
@@ -450,9 +447,7 @@ def shifted_block_precond(
 
 
 def banded_via_rcm(
-    a0,
-    a1,
-    a2,
+    *operands,
     symmetrize: bool = True,
     max_half: int = 2048,
     tile: int = 512,
@@ -483,7 +478,7 @@ def banded_via_rcm(
 
     mats = [
         m if sp.issparse(m) else sp.csr_matrix(np.asarray(m))
-        for m in (a0, a1, a2)
+        for m in operands
     ]
     pattern = sum(abs(m).tocsr() for m in mats)
     pattern = (pattern + pattern.T).tocsr()  # RCM wants symmetric structure
@@ -526,9 +521,7 @@ def rcm_direct_solve(
 
 
 def truncated_band_via_rcm(
-    a0,
-    a1,
-    a2,
+    *operands,
     symmetrize: bool = True,
     band_half: int = 1024,
     tile: int = 512,
@@ -561,7 +554,7 @@ def truncated_band_via_rcm(
 
     mats = [
         m if sp.issparse(m) else sp.csr_matrix(np.asarray(m))
-        for m in (a0, a1, a2)
+        for m in operands
     ]
     pattern = sum(abs(m).tocsr() for m in mats)
     pattern = (pattern + pattern.T).tocsr()

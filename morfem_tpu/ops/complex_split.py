@@ -186,6 +186,48 @@ def embed_affine_system(
     return AffineSystem.create(domain, a0e, a1e, a2e, be, **kwargs)
 
 
+def eval_coefficient_table(domain, fn) -> np.ndarray:
+    """Evaluate a coefficient callable over the whole domain ON THE HOST.
+
+    Complex-valued callables (t_b(t)=e^{iωt} and friends) cannot be traced
+    into TPU programs — complex128 does not exist on the device — so the
+    complex-coefficient route evaluates them ONCE here, on the CPU backend
+    (which has full complex128), and carries exact per-point tables
+    instead. Accepts callables written with numpy or jax.numpy.
+    """
+    dom = np.asarray(domain)
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            vals = np.asarray(fn(jnp.asarray(dom)))
+    except Exception:
+        vals = np.asarray(fn(dom))
+    return np.broadcast_to(vals, dom.shape).copy()
+
+
+def grid_lookup_coefficient(domain, table):
+    """EXACT grid-point coefficient callable from a per-point table.
+
+    Returns a JAX-traceable, TPU-safe (real-only) callable t ↦ table[i(t)]
+    with i(t) = searchsorted(domain, t): exact whenever t is one of the
+    domain's grid points — which is every evaluation the MOR pipeline
+    makes (snapshots, estimator, sweeps all run on the domain grid). For
+    off-grid t it snaps to the right neighbour; re-sweeping a complex-
+    coefficient reduced model on a DIFFERENT grid is therefore not
+    supported (re-run `morfem` on the new grid instead).
+    """
+    dom = jnp.asarray(np.asarray(domain))
+    tab = jnp.asarray(np.asarray(table))
+
+    def fn(t):
+        idx = jnp.clip(
+            jnp.searchsorted(dom, jnp.asarray(t)), 0, dom.shape[0] - 1
+        )
+        return tab[idx]
+
+    return fn
+
+
 def embed_sparse_interleaved(a):
     """Sparse real 2N image of a complex SPARSE matrix, INTERLEAVED.
 

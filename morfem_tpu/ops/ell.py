@@ -127,12 +127,12 @@ class ELLAffineOperator:
     makes it blow up.
     """
 
-    def __init__(self, a0, a1, a2, symmetrize: bool = True):
+    def __init__(self, *operands, symmetrize: bool = True):
         import scipy.sparse as sp
 
         mats = [
             m if sp.issparse(m) else sp.csr_matrix(np.asarray(m))
-            for m in (a0, a1, a2)
+            for m in operands
         ]
         if any(np.iscomplexobj(m.data) for m in mats):
             raise ValueError(
@@ -151,19 +151,19 @@ class ELLAffineOperator:
         self.n = n
         self.k = int(cols.shape[1])
         self.cols = jnp.asarray(cols)
-        self.vals_w = jnp.asarray(vals)  # [3, N, K] working dtype
+        self.vals_w = jnp.asarray(vals)  # [P, N, K] working dtype
         nnz_union = int(sum(abs(m) for m in mats).nnz)
         self.inflation = vals[0].size / max(nnz_union, 1)
         self.diags = jnp.stack(
             [jnp.asarray(m.diagonal()) for m in mats]
-        )  # [3, N]
+        )  # [P, N]
+
+    @property
+    def n_addends(self) -> int:
+        return self.vals_w.shape[0]
 
     def _combined(self, c: jax.Array) -> jax.Array:
-        return (
-            c[0] * self.vals_w[0]
-            + c[1] * self.vals_w[1]
-            + c[2] * self.vals_w[2]
-        )
+        return jnp.tensordot(c, self.vals_w, axes=1)
 
     def bind(self, c: jax.Array):
         """f32 fast path, slot values combined once — Krylov inner loops."""
@@ -194,8 +194,7 @@ class ELLAffineOperator:
         return ell_matmul(self.vals_w[p], self.cols, x)
 
     def diagonal(self, c: jax.Array) -> jax.Array:
-        d = self.diags
-        return c[0] * d[0] + c[1] * d[1] + c[2] * d[2]
+        return jnp.tensordot(c, self.diags, axes=1)
 
 
 # jit-argument capable (buffers as parameters, not HLO constants) — see

@@ -177,22 +177,31 @@ def banded_matvec(
     )
 
 
+def combine_addends(c: jax.Array, stacked: jax.Array) -> jax.Array:
+    """Σ_p c_p·S_p over the leading addend axis of [P, ...] storage.
+
+    The one place the affine combination is spelled out — every operator
+    accepts an arbitrary addend count P (the classic pencil is P=3;
+    complex-coefficient systems ride the interleaved embedding as P=6,
+    mor/api.py)."""
+    return jnp.tensordot(c, stacked, axes=1)
+
+
 class BandedAffineOperator:
     """A(t)·x applications with banded Pallas matvecs.
 
     Drop-in alternative to `morfem_tpu.ops.sparse.SparseAffineOperator`
     (same `matvec`/`diagonal` interface, so `solve_point_iterative`
-    accepts it): the three operator addends are stored in diagonal form
-    and pre-symmetrized on the host, the per-point matvec combines the
-    bands elementwise and runs ONE fused Pallas kernel. Measured 14.5×
-    faster than the BCOO matvec at N=100k, half-bandwidth 25, on a v5e.
+    accepts it): the P operator addends (any count; the classic pencil
+    is 3) are stored in diagonal form and pre-symmetrized on the host,
+    the per-point matvec combines the bands elementwise and runs ONE
+    fused Pallas kernel. Measured 14.5× faster than the BCOO matvec at
+    N=100k, half-bandwidth 25, on a v5e.
     """
 
     def __init__(
         self,
-        a0,
-        a1,
-        a2,
+        *mats,
         symmetrize: bool = True,
         tile: int = 512,
         bandwidth: Optional[int] = None,
@@ -209,7 +218,7 @@ class BandedAffineOperator:
                 a = (a + a.T) * 0.5 if not sp.issparse(a) else (a + a.T) * 0.5
             return a
 
-        mats = [prep(a) for a in (a0, a1, a2)]
+        mats = [prep(a) for a in mats]
         if any(
             np.iscomplexobj(m.data if sp.issparse(m) else np.asarray(m))
             for m in mats
@@ -229,7 +238,7 @@ class BandedAffineOperator:
         self.half = max(halves)
         n = bands[0].shape[0]
         bw = 2 * self.half + 1
-        aligned = np.zeros((3, n, bw), dtype=np.float64)
+        aligned = np.zeros((len(mats), n, bw), dtype=np.float64)
         for p, (band, h) in enumerate(zip(bands, halves)):
             aligned[p, :, self.half - h : self.half + h + 1] = band
         self.tile = tile
@@ -237,19 +246,21 @@ class BandedAffineOperator:
         self.bw = bw
         # pre-padded kernel operands, combined per-t in `bind`
         self.bands_p = jnp.stack(
-            [pad_band(jnp.asarray(aligned[p]), tile) for p in range(3)]
+            [pad_band(jnp.asarray(a), tile) for a in aligned]
         )
-        self.bands_w = jnp.asarray(aligned)  # working-dtype bands [3, N, BW]
-        self.diags = jnp.asarray(aligned[:, :, self.half])  # [3, N]
+        self.bands_w = jnp.asarray(aligned)  # working-dtype bands [P, N, BW]
+        self.diags = jnp.asarray(aligned[:, :, self.half])  # [P, N]
+
+    @property
+    def n_addends(self) -> int:
+        return self.bands_w.shape[0]
 
     def bind(self, c: jax.Array):
         """Combine the bands for coefficients c ONCE (outside solver loops)
         and return the bound matvec closure."""
-        band_t = (
-            c[0] * self.bands_p[0]
-            + c[1] * self.bands_p[1]
-            + c[2] * self.bands_p[2]
-        ).astype(jnp.float32)  # the kernel computes in f32
+        band_t = combine_addends(c, self.bands_p).astype(
+            jnp.float32
+        )  # the kernel computes in f32
 
         def mv(x):
             squeeze = x.ndim == 1
@@ -267,11 +278,7 @@ class BandedAffineOperator:
 
     def bind_precise(self, c: jax.Array):
         """f64 (working-dtype) matvec closure for refinement residuals."""
-        band_t = (
-            c[0] * self.bands_w[0]
-            + c[1] * self.bands_w[1]
-            + c[2] * self.bands_w[2]
-        )
+        band_t = combine_addends(c, self.bands_w)
         return lambda x: banded_matvec_ref(band_t, self.half, x)
 
     def apply_addend(self, p: int, x: jax.Array) -> jax.Array:
@@ -284,8 +291,7 @@ class BandedAffineOperator:
         return banded_matvec_ref(self.bands_w[p], self.half, x)
 
     def diagonal(self, c: jax.Array) -> jax.Array:
-        d = self.diags
-        return c[0] * d[0] + c[1] * d[1] + c[2] * d[2]
+        return combine_addends(c, self.diags)
 
 
 # jit-argument capable (buffers as parameters, not HLO constants) — see

@@ -259,6 +259,13 @@ def pallas_reduced_sweep(rm, ts: jax.Array, config) -> jax.Array:
     """
     from morfem_tpu.ops.orthonormalize import column_mask
 
+    if rm.r_extra:
+        # the fused kernel assembles exactly the classic 3-term pencil;
+        # P>3 models (complex-coefficient embeddings) take the XLA path
+        from morfem_tpu.mor.reduced import assemble_reduced, solve_reduced_batch
+
+        a, rhs = assemble_reduced(rm, ts, config)
+        return solve_reduced_batch(a, rhs, config)
     c, cb = rm.coefficients(ts)
     k = rm.k
     mask = column_mask(k, rm.ncols, rm.b_r.dtype)

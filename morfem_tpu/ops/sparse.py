@@ -58,13 +58,17 @@ class SparseAffineOperator:
     transposed SpMM, so no symmetrized matrix is ever materialized.
     """
 
-    def __init__(self, a0, a1, a2, symmetrize: bool = True):
-        self.ops = (to_bcoo(a0), to_bcoo(a1), to_bcoo(a2))
+    def __init__(self, *mats, symmetrize: bool = True):
+        self.ops = tuple(to_bcoo(a) for a in mats)
         self.ops_t = tuple(op.T for op in self.ops) if symmetrize else None
         self.symmetrize = symmetrize
 
+    @property
+    def n_addends(self) -> int:
+        return len(self.ops)
+
     def matvec(self, c: jax.Array, x: jax.Array) -> jax.Array:
-        """y = A(t)·x with coefficients c = [c0, c1, c2]; x [N] or [N, M]."""
+        """y = A(t)·x with coefficients c = [c0, …, c_{P−1}]; x [N] or [N, M]."""
         y = jnp.zeros_like(x)
         for p, op in enumerate(self.ops):
             y = y + c[p] * (op @ x)
@@ -98,7 +102,7 @@ class SparseAffineOperator:
                 jnp.where(rows == cols, op.data, 0.0)
             )
             diags.append(d)
-        return c[0] * diags[0] + c[1] * diags[1] + c[2] * diags[2]
+        return sum(c[p] * diags[p] for p in range(len(diags)))
 
 
 class GeneralSparseOperator:
@@ -123,6 +127,10 @@ class GeneralSparseOperator:
         self.band = band_op
         self.sigma = sigma
         self.dropped = dropped
+
+    @property
+    def n_addends(self) -> int:
+        return self.exact.n_addends
 
     def matvec(self, c, x):
         return self.exact.matvec(c, x)
@@ -170,21 +178,33 @@ def solve_point_iterative(
       shifted-direct preconditioner (`GeneralSparseOperator`); the
       robust path for indefinite systems with non-band-recoverable
       sparsity.
-    - ``"auto"`` (default) — ``direct`` when the operator carries banded
-      storage (`BandedAffineOperator`), ``general`` for a
-      `GeneralSparseOperator`, else ``bicgstab``.
+    - ``"spike"`` — the banded direct solve DISTRIBUTED over a device
+      mesh (`parallel/tp_banded.py`); operators carrying a
+      ``spike_mesh`` (`SpikeBandedOperator`) only.
+    - ``"auto"`` (default) — ``spike`` when the operator carries a mesh,
+      ``direct`` when it carries banded storage (`BandedAffineOperator`),
+      ``general`` for a `GeneralSparseOperator`, else ``bicgstab``.
 
     With ``return_residual`` also returns the achieved relative residual
     per column — Krylov methods on strongly indefinite systems can
     stagnate, and jax's solvers do not raise.
     """
     if method == "auto":
-        if hasattr(op, "bands_w"):
+        if hasattr(op, "spike_mesh"):
+            method = "spike"
+        elif hasattr(op, "bands_w"):
             method = "direct"
         elif hasattr(op, "band"):
             method = "general"
         else:
             method = "bicgstab"
+    if method == "spike":
+        # distributed banded direct solve over the operator's mesh
+        # (parallel/tp_banded.py — the TP-scale splu robustness story)
+        x, relres, _ = op.spike_solve(
+            c, rhs, tol=tol, refine_iterations=min(30, maxiter)
+        )
+        return (x, relres) if return_residual else x
     if method == "general":
         from morfem_tpu.ops.block_tridiag import general_sparse_solve
 
@@ -250,9 +270,7 @@ def solve_point_iterative(
 
 
 def sparse_snapshot_basis(
-    a0,
-    a1,
-    a2,
+    mats,
     b: jax.Array,
     domain: jax.Array,
     seed_indices: jax.Array,
@@ -264,9 +282,11 @@ def sparse_snapshot_basis(
 ) -> jax.Array:
     """Equally-distributed snapshot basis with iterative large-N solves.
 
-    Pass ``op`` (e.g. a `BandedAffineOperator`) to reuse prepared operator
-    storage and unlock ``method="auto"``'s direct banded path; by default
-    a `SparseAffineOperator` (BCOO) is built from a0/a1/a2.
+    ``mats`` is the sequence of P operator addends and ``coeffs`` the
+    matching P coefficient callables plus t_b last (the classic pencil is
+    P=3). Pass ``op`` (e.g. a `BandedAffineOperator`) to reuse prepared
+    operator storage and unlock ``method="auto"``'s direct banded path;
+    by default a `SparseAffineOperator` (BCOO) is built from ``mats``.
 
     Returns the orthonormal basis q [N, S·M]. The downstream projection /
     reduced sweep reuse the dense pipeline (the reduced model is dense and
@@ -274,9 +294,14 @@ def sparse_snapshot_basis(
     """
     from morfem_tpu.ops.orthonormalize import orthonormalize_svd
 
-    t_a0, t_a1, t_a2, t_b = coeffs
+    t_ops, t_b = tuple(coeffs[:-1]), coeffs[-1]
+    if len(t_ops) != len(mats):
+        raise ValueError(
+            f"{len(mats)} operator addends need {len(mats)} + 1 coefficient "
+            f"callables, got {len(coeffs)}"
+        )
     if op is None:
-        op = SparseAffineOperator(a0, a1, a2, symmetrize=config.symmetrize)
+        op = SparseAffineOperator(*mats, symmetrize=config.symmetrize)
     ts = domain[seed_indices]
 
     # jit ONCE across all seed points, with the operator passed as a
@@ -288,11 +313,7 @@ def sparse_snapshot_basis(
     @jax.jit
     def _solve(op, t):
         c = jnp.stack(
-            [
-                jnp.asarray(t_a0(t), dtype=b.dtype),
-                jnp.asarray(t_a1(t), dtype=b.dtype),
-                jnp.asarray(t_a2(t), dtype=b.dtype),
-            ]
+            [jnp.asarray(fn(t), dtype=b.dtype) for fn in t_ops]
         )
         rhs = jnp.asarray(t_b(t), dtype=b.dtype) * b
         x, relres = solve_point_iterative(
@@ -348,9 +369,12 @@ def sparse_snapshot_basis(
     return orthonormalize_svd(q)
 
 
-def sparse_project(a0, a1, a2, b, q: jax.Array):
-    """Galerkin projection with SpMM images — r_p = Qᴴ·(A_p·Q), b_r = Qᴴ·B."""
-    ops = (to_bcoo(a0), to_bcoo(a1), to_bcoo(a2))
+def sparse_project(mats, b, q: jax.Array):
+    """Galerkin projection with SpMM images — r_p = Qᴴ·(A_p·Q), b_r = Qᴴ·B.
+
+    ``mats`` is the sequence of P operator addends; returns (P-tuple of
+    [K, K] reduced matrices, b_r)."""
+    ops = tuple(to_bcoo(a) for a in mats)
     qt = q.T  # plain transpose (see mor/reduced.py docstring)
     rs = tuple(
         jnp.matmul(qt, op @ q, precision=jax.lax.Precision.HIGHEST)

@@ -234,3 +234,60 @@ def banded_waveguide_system(
         rows = rng.choice(n, size=nnz, replace=False)
         wp[rows, j] = rng.uniform(0.5, 1.0, size=nnz)
     return c.tocsr(), t.tocsr(), wp
+
+
+def banded_waveguide_system_2d(
+    p: int,
+    m: int = 2,
+    seed: int = 0,
+    side_m: float = 0.15,
+):
+    """2-D P1-FEM waveguide-cross-section Helmholtz pencil (N = p²).
+
+    The reference's ~34k-DOF stress case is an upscaled version of the
+    bundled 2-D waveguide FEM problem (fake_interpolate_bigger_sample.py:
+    1-34); this generator builds the genuine article instead of a tiling:
+    stiffness/mass of a p×p-interior-node square cross-section, Dirichlet
+    walls. Row-major node ordering gives a BANDED pattern with
+    half-bandwidth p+1 (stiffness: 5-point stencil; mass: 9-point
+    tensor-product P1), the structure the RCM-banded matrix-free route
+    (ops/block_tridiag.py) exists for.
+
+    Why 2-D for the large-N benchmark and not `banded_waveguide_system`
+    (1-D): refining a 1-D mesh at fixed length drives cond(A) ~ n² past
+    what an f32 factorization + f64 refinement can recover (measured at
+    n=34k/L=1 m: first snapshot stalls at 1e-2 relative residual), while
+    shrinking the length to keep cond down packs hundreds of resonances
+    into the 3-5 GHz band — more modes than any greedy budget. In 2-D,
+    h = L/(p+1) with n = p², so cond(A) ~ 1/h² ~ n: at n≈34k that is
+    ~1e5-1e6 (comfortably refinable) with ~10 in-band resonances at
+    side_m=0.15 — the same physics regime as the bundled N=3411 problem.
+
+    Returns (c, t, wp): SciPy CSR stiffness/mass + dense ports (a few
+    point excitations per port, like WP.npy's 38 nonzeros). Use with the
+    wave form a0=c, a2=GAMMA_SCALE·t, t_a2=f²; eigenfrequencies sit at
+    k₀² = π²(j²+k²)/side² — ~10 inside the 3-5 GHz band by default.
+    """
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    h = side_m / (p + 1)
+    # 1-D P1 factors (scale-free stiffness, h-scaled consistent mass);
+    # the 2-D P1 tensor-product operators are K⊗M + M⊗K and M⊗M
+    k1 = sp.diags(
+        [np.full(p - 1, -1.0), np.full(p, 2.0), np.full(p - 1, -1.0)],
+        [-1, 0, 1],
+    ) / h
+    m1 = sp.diags(
+        [np.full(p - 1, 1.0), np.full(p, 4.0), np.full(p - 1, 1.0)],
+        [-1, 0, 1],
+    ) * (h / 6.0)
+    c = (sp.kron(k1, m1) + sp.kron(m1, k1)).tocsr()
+    t = sp.kron(m1, m1).tocsr()
+    n = p * p
+    wp = np.zeros((n, m))
+    nnz = max(8, n // 1000)
+    for j in range(m):
+        rows = rng.choice(n, size=nnz, replace=False)
+        wp[rows, j] = rng.uniform(0.5, 1.0, size=nnz)
+    return c, t, wp

@@ -164,7 +164,7 @@ def test_complex_sparse_matfree_morfem_matches_dense_oracle():
     assert worst < 1e-7, worst
 
 
-def test_complex_sparse_matfree_rejects_symmetrize_and_complex_coeffs():
+def test_complex_sparse_matfree_rejects_symmetrize():
     import scipy.sparse as sp
 
     from morfem_tpu.mor.api import morfem
@@ -178,13 +178,6 @@ def test_complex_sparse_matfree_rejects_symmetrize_and_complex_coeffs():
     cfg = MorfemConfig(dense_cutoff=128, use_equally_distributed=True)
     with pytest.raises(ValueError, match="symmetrize"):
         morfem(domain, a0, a1, a2, b, config=cfg)
-    cfg2 = cfg.replace(symmetrize=False)
-    with pytest.raises(ValueError, match="REAL-valued"):
-        morfem(
-            domain, a0, a1, a2, b,
-            t_b=lambda t: 1j * t,
-            config=cfg2,
-        )
 
 
 def test_complex_dense_embedded_morfem_matches_native_complex():
@@ -263,3 +256,166 @@ def test_complex_sparse_greedy_matfree():
             worst, float(np.linalg.norm(rec[i] - ref) / np.linalg.norm(ref))
         )
     assert worst < 1e-8, worst
+
+
+def _complex_banded_sparse(n=400, half=5, seed=7):
+    """Absorbing-Helmholtz-like complex-symmetric banded pencil."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    offs = list(range(0, half + 1))
+    diags = [(8.0 + rng.random(n)) + 1j * 0.4] + [
+        (-0.3 + 0.05j) * np.ones(n - d) for d in offs[1:]
+    ]
+    a0 = sp.diags(diags, offs).tocsr()
+    a0 = (a0 + a0.T) * 0.5
+    a1 = sp.csr_matrix((n, n))
+    a2 = (sp.eye(n) * -1.0).tocsr()
+    b = rng.standard_normal((n, 2)) + 1j * rng.standard_normal((n, 2))
+    return a0, a1, a2, b
+
+
+def test_complex_tb_phase_callable_matfree():
+    """t_b(t) = t·e^{iωt}: the phase folds EXACTLY into the real pipeline
+    (|t_b| drive + per-point phase on x) — splu dtype-genericity parity
+    for complex coefficient callables (implementation.py:468-480)."""
+    from morfem_tpu.mor.api import morfem
+
+    n = 400
+    a0, a1, a2, b = _complex_banded_sparse(n=n)
+    domain = np.linspace(0.8, 2.0, 16)
+    t_b = lambda t: t * jnp.exp(1j * 0.7 * t)  # noqa: E731
+    # threshold is the reference's ABSOLUTE squared residual; 1e-18
+    # drives the basis until ~1e-9 absolute residuals (measured: Nr=16,
+    # worst rel 4.3e-13 — splu-grade)
+    cfg = MorfemConfig(
+        symmetrize=False, dense_cutoff=128, error_threshold=1e-18
+    )
+    x, q, *_ = morfem(domain, a0, a1, a2, b, t_b=t_b, config=cfg)
+    assert np.iscomplexobj(np.asarray(x))  # phase folded into x
+    rec = np.einsum("nk,ikm->inm", np.asarray(q), np.asarray(x))
+    worst = 0.0
+    for i in (0, 7, 15):
+        t = domain[i]
+        ref = np.linalg.solve(
+            a0.toarray() - t**2 * np.eye(n),
+            (t * np.exp(1j * 0.7 * t)) * np.asarray(b),
+        )
+        worst = max(
+            worst,
+            float(np.linalg.norm(rec[i] - ref) / np.linalg.norm(ref)),
+        )
+    assert worst < 1e-11, worst
+
+
+def test_complex_operator_coefficients_matfree():
+    """Complex t_a2 (damped wave coefficient): splits into Re/Im operator
+    addends (P=4 here) through the P-generic matrix-free pipeline."""
+    from morfem_tpu.mor.api import morfem
+
+    n = 400
+    a0, a1, a2, b = _complex_banded_sparse(n=n)
+    domain = np.linspace(0.8, 2.0, 16)
+    t_a2 = lambda t: t**2 * jnp.exp(1j * 0.25 * t)  # noqa: E731
+    cfg = MorfemConfig(
+        symmetrize=False, dense_cutoff=128, error_threshold=1e-18
+    )
+    x, q, *_ = morfem(domain, a0, a1, a2, b, t_a2=t_a2, config=cfg)
+    rec = np.einsum("nk,ikm->inm", np.asarray(q), np.asarray(x))
+    worst = 0.0
+    for i in (0, 7, 15):
+        t = domain[i]
+        c2 = t**2 * np.exp(1j * 0.25 * t)
+        ref = np.linalg.solve(
+            a0.toarray() + c2 * a2.toarray(), t * np.asarray(b)
+        )
+        worst = max(
+            worst,
+            float(np.linalg.norm(rec[i] - ref) / np.linalg.norm(ref)),
+        )
+    assert worst < 1e-10, worst
+
+
+def test_real_operators_complex_coefficients_route_embedded():
+    """REAL sparse operators with complex coefficients must also take the
+    embedding route (the system is complex even though the matrices are
+    not) — both greedy and equally-distributed strategies."""
+    import scipy.sparse as sp
+
+    from morfem_tpu.mor.api import morfem
+
+    rng = np.random.default_rng(3)
+    n = 360
+    main = 8.0 + rng.random(n)
+    off = -0.4 * np.ones(n - 1)
+    a0 = sp.diags([off, main, off], [-1, 0, 1]).tocsr()
+    a1 = sp.csr_matrix((n, n))
+    a2 = (sp.eye(n) * -1.0).tocsr()
+    b = rng.standard_normal((n, 2))
+    domain = np.linspace(0.8, 2.0, 12)
+    t_a0 = lambda t: jnp.exp(1j * 0.2 * t)  # noqa: E731
+    # equally-distributed accuracy is seed-count-limited (same 1e-7-grade
+    # bound as test_complex_sparse_matfree_morfem_matches_dense_oracle);
+    # greedy refines to threshold
+    for extra_cfg, bound in (
+        (dict(error_threshold=1e-18), 1e-9),
+        (dict(use_equally_distributed=True,
+              equally_distributed_reduction_rate=0.5), 1e-6),
+    ):
+        cfg = MorfemConfig(
+            symmetrize=False, dense_cutoff=128, **extra_cfg
+        )
+        x, q, *_ = morfem(domain, a0, a1, a2, b, t_a0=t_a0, config=cfg)
+        assert np.iscomplexobj(np.asarray(q))
+        rec = np.einsum("nk,ikm->inm", np.asarray(q), np.asarray(x))
+        worst = 0.0
+        for i in (0, 5, 11):
+            t = domain[i]
+            c0 = np.exp(1j * 0.2 * t)
+            ref = np.linalg.solve(
+                c0 * a0.toarray() - t**2 * np.eye(n), t * b
+            )
+            worst = max(
+                worst,
+                float(np.linalg.norm(rec[i] - ref) / np.linalg.norm(ref)),
+            )
+        assert worst < bound, (extra_cfg, worst)
+
+
+def test_fully_complex_system_all_callables_complex():
+    """Everything complex at once — operators, all three operator
+    coefficients, and t_b (P=6 embedded addends + phase fold) — against
+    the dense complex oracle at every domain point."""
+    from morfem_tpu.mor.api import morfem
+
+    n = 400
+    a0, a1, a2, b = _complex_banded_sparse(n=n, seed=11)
+    domain = np.linspace(0.8, 2.0, 12)
+    fns = dict(
+        t_a0=lambda t: jnp.exp(1j * 0.1 * t),
+        t_a1=lambda t: (0.02 + 0.01j) * t,
+        t_a2=lambda t: t**2 * jnp.exp(1j * 0.3 * t),
+        t_b=lambda t: t * jnp.exp(1j * 0.7 * t),
+    )
+    cfg = MorfemConfig(
+        symmetrize=False, dense_cutoff=128, error_threshold=1e-18
+    )
+    x, q, *_ = morfem(domain, a0, a1, a2, b, config=cfg, **fns)
+    rec = np.einsum("nk,ikm->inm", np.asarray(q), np.asarray(x))
+    a1d = a1.toarray()
+    worst = 0.0
+    for i in range(len(domain)):
+        t = domain[i]
+        a_t = (
+            np.exp(1j * 0.1 * t) * a0.toarray()
+            + (0.02 + 0.01j) * t * a1d
+            + t**2 * np.exp(1j * 0.3 * t) * a2.toarray()
+        )
+        ref = np.linalg.solve(
+            a_t, (t * np.exp(1j * 0.7 * t)) * np.asarray(b)
+        )
+        worst = max(
+            worst,
+            float(np.linalg.norm(rec[i] - ref) / np.linalg.norm(ref)),
+        )
+    assert worst < 1e-9, worst

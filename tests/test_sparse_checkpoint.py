@@ -86,10 +86,10 @@ class TestSparseOps:
         sys = AffineSystem.create(domain, a0, a1, a2, b)
         coeffs = (sys.t_a0, sys.t_a1, sys.t_a2, sys.t_b)
         q = sparse_snapshot_basis(
-            a0, a1, a2, jnp.asarray(b), jnp.asarray(domain), seed_idx,
+            (a0, a1, a2), jnp.asarray(b), jnp.asarray(domain), seed_idx,
             coeffs, CFG, tol=1e-12,
         )
-        (r0, r1, r2), b_r = sparse_project(a0, a1, a2, b, q)
+        (r0, r1, r2), b_r = sparse_project((a0, a1, a2), b, q)
         rm = ReducedModel(
             domain=jnp.asarray(domain), q=q, r0=r0, r1=r1, r2=r2, b_r=b_r,
             ncols=jnp.asarray(q.shape[1]),
