@@ -1,0 +1,388 @@
+"""Distributed banded DIRECT solves over the tp axis — the SPIKE design.
+
+The single-chip banded direct path (`ops/block_tridiag.py`) is the
+splu-robustness replacement (implementation.py:474-476) for the large-N
+matrix-free route: block-Thomas elimination handles the strongly
+indefinite in-band Helmholtz pencils where every Jacobi-Krylov method
+stagnates. Beyond one chip, `parallel/tp_solve.py`'s row-sharded Krylov
+inherits exactly that weakness — Jacobi-class preconditioning only
+(its docstring admits it). This module closes the gap with the banded
+factorization itself distributed over the mesh: the SPIKE algorithm,
+which is the textbook ICI-friendly decomposition of a banded solve.
+
+Design (all compiled; the mesh primitive set is {all_gather} only):
+
+  * The rows are partitioned into `tp` contiguous chunks. Each device
+    factors its LOCAL diagonal block A_j — banded, so the existing
+    block-Thomas scan (`ops/block_tridiag.py`) runs unchanged per
+    device inside `shard_map` — and solves three right-hand sides at
+    once: the local rhs chunk, and the two coupling columns
+    [0…0; B_j] (to the next partition) and [C_j; 0…0] (to the
+    previous). The latter two produce the SPIKES
+    V_j = A_j⁻¹[0;B_j], W_j = A_j⁻¹[C_j;0].
+  * Only the TOP/BOTTOM `half` rows of the spikes couple across
+    partitions: the reduced system
+        x_j^{t,b} + V_j^{t,b}·x_{j+1}^t + W_j^{t,b}·x_{j-1}^b = g_j^{t,b}
+    has size 2·half·tp — thousands of times smaller than N. It is
+    gathered over ICI (one all_gather of [2h, half+M] slices) and
+    solved REPLICATED on every device (cheaper than a round-trip).
+  * Recovery is local again: x_j = g_j − V_j·z_{j+1}^t − W_j·z_{j-1}^b.
+  * All factor/apply work is f32 (MXU-friendly, like every factor in
+    the repo); full accuracy comes from GLOBAL f64 iterative
+    refinement, whose residual is a distributed banded matvec — the
+    same factor-in-f32 / refine-in-f64 contract as
+    `banded_direct_solve` and `panel_lu`.
+
+Numerically, SPIKE with exact-reduced-system (this variant — no
+truncation) is a reordered block LU of the banded matrix: it is as
+robust as the serial block-Thomas factor on each diagonal block, and
+the f64 refinement absorbs the f32 factor error. Near-resonance
+partitions whose LOCAL block is singular-to-f32 stagnate the
+refinement; callers escalate exactly like the serial path (the greedy's
+shifted-GMRES escalation, mor/greedy_matfree.py) — the solver reports
+achieved residuals.
+
+Reference role: splu at any N (implementation.py:474-476), here at
+multi-chip N with the factorization itself sharded.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax, shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from morfem_tpu.ops.block_tridiag import (
+    band_to_blocks,
+    block_tridiag_apply,
+    block_tridiag_factor,
+)
+from morfem_tpu.ops.pallas.banded_matvec import (
+    BandedAffineOperator,
+    combine_addends,
+)
+from morfem_tpu.utils.pytreereg import register_operator_pytree
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _coupling_blocks(band_loc: jax.Array, half: int):
+    """Extract (C, B) couplings of a local band chunk, and the masked
+    in-range band.
+
+    band_loc: [n_loc, 2h+1] diagonal storage of this partition's rows.
+    Entry (r, d) addresses LOCAL column r − h + d; entries outside
+    [0, n_loc) belong to the neighbours:
+
+      C [h, h]: rows 0..h couple to the LAST h columns of the previous
+        partition — C[r, c] = band_loc[r, c − r] (c ≥ r, upper-left
+        triangle of the band's subdiagonals);
+      B [h, h]: rows n_loc−h.. couple to the FIRST h columns of the next
+        partition — B[r', c] = band_loc[n_loc−h+r', c + 2h − r']
+        (c ≤ r').
+
+    For the first/last partition those out-of-range entries are already
+    zero in the global band storage, so the same uniform extraction is
+    correct on every device (no axis_index dependence — shard_map-clean).
+    """
+    n_loc, bw = band_loc.shape
+    h = half
+    r = jnp.arange(n_loc)[:, None]
+    dd = jnp.arange(bw)[None, :]
+    lcol = r - h + dd
+    band_in = jnp.where((lcol >= 0) & (lcol < n_loc), band_loc, 0.0)
+
+    rr = jnp.arange(h)[:, None]
+    cc = jnp.arange(h)[None, :]
+    d_c = cc - rr  # C: d = c − r
+    cmat = jnp.where(
+        (d_c >= 0) & (d_c < bw),
+        jnp.take_along_axis(
+            band_loc[:h], jnp.clip(d_c, 0, bw - 1).astype(jnp.int32),
+            axis=1,
+        ),
+        0.0,
+    )
+    d_b = cc + 2 * h - rr  # B: d = c + 2h − r'
+    bmat = jnp.where(
+        (d_b >= 0) & (d_b < bw),
+        jnp.take_along_axis(
+            band_loc[n_loc - h:], jnp.clip(d_b, 0, bw - 1).astype(jnp.int32),
+            axis=1,
+        ),
+        0.0,
+    )
+    return band_in, cmat, bmat
+
+
+def _reduced_matrix(vt, vb, wt, wb, p: int, h: int) -> jax.Array:
+    """Assemble the [2hp, 2hp] SPIKE reduced system (replicated, f32).
+
+    Unknown layout z = [x_0^t, x_0^b, x_1^t, x_1^b, …]; see module
+    docstring for the two equations per partition.
+    """
+    f32 = jnp.float32
+    red = jnp.eye(2 * h * p, dtype=f32)
+
+    def blk(j, s):  # start row/col of block (j, side): side 0=t, 1=b
+        return (2 * j + s) * h
+
+    for j in range(p):
+        if j + 1 < p:
+            red = lax.dynamic_update_slice(
+                red,
+                red[blk(j, 0):blk(j, 0) + h, blk(j + 1, 0):blk(j + 1, 0) + h]
+                + vt[j].astype(f32),
+                (blk(j, 0), blk(j + 1, 0)),
+            )
+            red = lax.dynamic_update_slice(
+                red,
+                red[blk(j, 1):blk(j, 1) + h, blk(j + 1, 0):blk(j + 1, 0) + h]
+                + vb[j].astype(f32),
+                (blk(j, 1), blk(j + 1, 0)),
+            )
+        if j > 0:
+            red = lax.dynamic_update_slice(
+                red,
+                red[blk(j, 0):blk(j, 0) + h, blk(j - 1, 1):blk(j - 1, 1) + h]
+                + wt[j].astype(f32),
+                (blk(j, 0), blk(j - 1, 1)),
+            )
+            red = lax.dynamic_update_slice(
+                red,
+                red[blk(j, 1):blk(j, 1) + h, blk(j - 1, 1):blk(j - 1, 1) + h]
+                + wb[j].astype(f32),
+                (blk(j, 1), blk(j - 1, 1)),
+            )
+    return red
+
+
+def spike_solve(
+    band: jax.Array,  # [N, 2h+1] working-dtype diagonal storage
+    half: int,
+    rhs: jax.Array,  # [N, M] working dtype
+    mesh: Mesh,
+    axis: str = "tp",
+    tol: float = 1e-10,
+    refine_iterations: int = 30,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Distributed banded direct solve of A·x = rhs over `mesh[axis]`.
+
+    f32 SPIKE factorization (local block-Thomas factors + replicated
+    reduced system) + global f64 iterative refinement. Jit-safe as a
+    whole; the mesh is closed over (static).
+
+    Returns (x [N, M], relres [M], iterations) — the same contract as
+    `ops/block_tridiag.banded_direct_solve`.
+    """
+    p = mesh.shape[axis]
+    n, bw = band.shape
+    h = half
+    if bw != 2 * h + 1:
+        raise ValueError(f"band width {bw} != 2·half+1 = {2 * h + 1}")
+    work = jnp.result_type(band.dtype, rhs.dtype)
+    m = rhs.shape[1]
+    f32 = jnp.float32
+
+    # partition size: a multiple of the block-Thomas block (≥ 128-aligned
+    # half) so band_to_blocks never pads internally (its pad rows would
+    # land BETWEEN partitions and shift the global indexing)
+    b = max(128, _round_up(h, 128))
+    n_loc = _round_up(max(math.ceil(n / p), b), b)
+    npad = p * n_loc
+    band_p = jnp.zeros((npad, bw), work).at[:n].set(band)
+    band_p = band_p.at[n:, h].set(1.0)  # identity pad rows, decoupled
+    rhs_p = jnp.zeros((npad, m), work).at[:n].set(rhs.astype(work))
+
+    spec_r = P(axis, None)
+
+    # ---- stage 1: local factors + spikes (f32), one shard_map ----------
+    def local_factor(band_loc, rhs_loc):
+        band_in, cmat, bmat = _coupling_blocks(band_loc.astype(f32), h)
+        l, d, u = band_to_blocks(band_in, h, b)
+        f = block_tridiag_factor(l, d, u, n_loc)
+        bcol = jnp.zeros((n_loc, h), f32).at[n_loc - h:].set(bmat)
+        ccol = jnp.zeros((n_loc, h), f32).at[:h].set(cmat)
+        big = jnp.concatenate(
+            [rhs_loc.astype(f32), bcol, ccol], axis=1
+        )
+        y = block_tridiag_apply(f, big)  # [n_loc, M + 2h]
+        g0 = y[:, :m]
+        v = y[:, m:m + h]
+        w = y[:, m + h:]
+        return g0, v, w, f.g, f.h, f.l
+
+    g0, v, w, fg, fh, fl = shard_map(
+        local_factor, mesh=mesh,
+        in_specs=(spec_r, spec_r),
+        out_specs=(spec_r, spec_r, spec_r,
+                   P(axis, None, None), P(axis, None, None),
+                   P(axis, None, None)),
+        check_vma=False,
+    )(band_p, rhs_p)
+
+    # ---- stage 2: reduced system, replicated ----------------------------
+    def interfaces(arr):  # [npad, K] sharded → (top [p,h,K], bot [p,h,K])
+        a3 = arr.reshape(p, n_loc, -1)
+        return a3[:, :h, :], a3[:, n_loc - h:, :]
+
+    vt, vb = interfaces(v)
+    wt, wb = interfaces(w)
+    red = _reduced_matrix(vt, vb, wt, wb, p, h)
+    # one f32 inverse, reused by every refinement apply; the reduced
+    # system is tiny (2hp ≤ ~2k) and the f32 error is folded into the
+    # global refinement like the rest of the factorization
+    red_inv = jnp.linalg.inv(red)
+
+    def local_apply(r_loc, fg_l, fh_l, fl_l):
+        from morfem_tpu.ops.block_tridiag import BlockTridiagFactors
+
+        f = BlockTridiagFactors(g=fg_l, h=fh_l, l=fl_l, n=n_loc)
+        return block_tridiag_apply(f, r_loc.astype(f32))
+
+    sm_apply = shard_map(
+        local_apply, mesh=mesh,
+        in_specs=(spec_r, P(axis, None, None), P(axis, None, None),
+                  P(axis, None, None)),
+        out_specs=spec_r, check_vma=False,
+    )
+
+    def local_correct(g_loc, v_loc, w_loc, ztn_loc, zbp_loc):
+        # x_j = g_j − V_j·z_{j+1}^t − W_j·z_{j-1}^b; neighbour z-slices
+        # arrive pre-sharded as [1, h, M] per device
+        return (
+            g_loc
+            - jnp.matmul(v_loc, ztn_loc[0])
+            - jnp.matmul(w_loc, zbp_loc[0])
+        )
+
+    sm_correct = shard_map(
+        local_correct, mesh=mesh,
+        in_specs=(spec_r, spec_r, spec_r,
+                  P(axis, None, None), P(axis, None, None)),
+        out_specs=spec_r, check_vma=False,
+    )
+
+    zeros_hm = jnp.zeros((1, h, m), f32)
+
+    def spike_apply(r):  # [npad, M] any float → f32 approx A⁻¹·r
+        g_r = sm_apply(r, fg, fh, fl)
+        gt, gb = interfaces(g_r)
+        red_rhs = jnp.concatenate(
+            [jnp.concatenate([gt[j], gb[j]], axis=0) for j in range(p)],
+            axis=0,
+        )  # [2hp, M]
+        z = jnp.matmul(red_inv, red_rhs.astype(f32))
+        z3 = z.reshape(p, 2 * h, m)
+        zt = z3[:, :h, :]
+        zb = z3[:, h:, :]
+        zt_next = jnp.concatenate([zt[1:], zeros_hm], axis=0)
+        zb_prev = jnp.concatenate([zeros_hm, zb[:-1]], axis=0)
+        return sm_correct(g_r, v, w, zt_next, zb_prev)
+
+    # first apply: reuse stage 1's local solve of the true rhs
+    gt0, gb0 = interfaces(g0)
+    red_rhs0 = jnp.concatenate(
+        [jnp.concatenate([gt0[j], gb0[j]], axis=0) for j in range(p)],
+        axis=0,
+    )
+    z0 = jnp.matmul(red_inv, red_rhs0.astype(f32)).reshape(p, 2 * h, m)
+    zt_next0 = jnp.concatenate([z0[1:, :h], zeros_hm], axis=0)
+    zb_prev0 = jnp.concatenate([zeros_hm, z0[:-1, h:]], axis=0)
+    x = sm_correct(g0, v, w, zt_next0, zb_prev0).astype(work)
+
+    # ---- stage 3: global f64 refinement ---------------------------------
+    def global_matvec(x_w):  # distributed banded matvec, working dtype
+        def local_mv(band_loc, x_all):
+            j0 = lax.axis_index(axis) * n_loc
+            x_pad = jnp.zeros((npad + 2 * h, m), x_all.dtype)
+            x_pad = lax.dynamic_update_slice(x_pad, x_all, (h, 0))
+            y = jnp.zeros((n_loc, m), x_all.dtype)
+            for d_off in range(bw):
+                seg = lax.dynamic_slice(
+                    x_pad,
+                    (j0 + jnp.asarray(d_off, j0.dtype),
+                     jnp.asarray(0, j0.dtype)),
+                    (n_loc, m),
+                )
+                y = y + band_loc[:, d_off:d_off + 1] * seg
+            return y
+
+        return shard_map(
+            local_mv, mesh=mesh, in_specs=(spec_r, P()),
+            out_specs=spec_r, check_vma=False,
+        )(band_p, x_w)
+
+    b_norm = jnp.linalg.norm(rhs_p)
+    tol_abs = jnp.maximum(
+        tol * b_norm, 10 * jnp.finfo(work).eps * b_norm
+    )
+
+    def residual(x_w):
+        return rhs_p - global_matvec(x_w)
+
+    r0 = residual(x)
+    r0n = jnp.linalg.norm(r0)
+    inf0 = r0n * 0 + jnp.asarray(jnp.inf, r0.real.dtype)
+
+    def cond_fn(state):
+        _, _, r_norm, r_prev, it = state
+        return jnp.logical_and(
+            jnp.logical_and(r_norm > tol_abs, r_norm < 0.95 * r_prev),
+            it < refine_iterations,
+        )
+
+    def body_fn(state):
+        x_c, r, r_norm, _, it = state
+        x_c = x_c + spike_apply(r).astype(work)
+        r_new = residual(x_c)
+        return (x_c, r_new, jnp.linalg.norm(r_new), r_norm, it + 1)
+
+    x, r_fin, _, _, iters = lax.while_loop(
+        cond_fn, body_fn, (x, r0, r0n, inf0, jnp.asarray(0))
+    )
+    x = x[:n]
+    relres = jnp.linalg.norm(r_fin[:n], axis=0) / jnp.maximum(
+        jnp.linalg.norm(rhs, axis=0), 1e-300
+    )
+    return x, relres, iters
+
+
+class SpikeBandedOperator(BandedAffineOperator):
+    """`BandedAffineOperator` whose DIRECT solves run SPIKE over a mesh.
+
+    Carries the mesh/axis as static metadata; `solve_point_iterative`
+    routes its ``"auto"`` method to ``"spike"`` when it sees
+    ``spike_mesh``, so the matrix-free greedy (`greedy_basis_matfree`)
+    runs unchanged with distributed snapshot solves — the TP-scale
+    answer to splu's indefinite-system robustness
+    (implementation.py:474-476). Estimator matvecs (`apply_addend`) stay
+    replicated: they are O(N·BW·K), negligible next to the solves.
+    """
+
+    def __init__(self, *mats, mesh: Mesh, axis: str = "tp", **kwargs):
+        super().__init__(*mats, **kwargs)
+        self.spike_mesh = mesh
+        self.spike_axis = axis
+
+    def spike_solve(self, c, rhs, tol=1e-10, refine_iterations=30):
+        band_t = combine_addends(c, self.bands_w)
+        return spike_solve(
+            band_t, self.half, rhs, self.spike_mesh,
+            axis=self.spike_axis, tol=tol,
+            refine_iterations=refine_iterations,
+        )
+
+
+register_operator_pytree(
+    SpikeBandedOperator,
+    ("bands_p", "bands_w", "diags"),
+    ("half", "tile", "n", "bw", "spike_mesh", "spike_axis"),
+)
