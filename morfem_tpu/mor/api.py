@@ -81,6 +81,33 @@ def _warn_if_x64_disabled(b) -> None:
     )
 
 
+def _warn_if_unconverged(result: GreedyResult) -> None:
+    """Warn when the greedy loop stopped short of its error threshold.
+
+    The reference's greedy iterates until the estimator clears the
+    threshold no matter what (implementation.py:269); this package caps
+    at ``max_greedy_iterations`` and returns ``converged=False`` instead
+    of looping forever. That deviation is documented, but ``morfem()``
+    callers never see the flag — without a warning an unconverged basis
+    ships silently, a parity-of-surprise gap vs the reference. The flag
+    is already on the host by the time this runs (the basis was just
+    block_until_ready'd), so the check costs one scalar readback.
+    """
+    if bool(result.converged):
+        return
+    import warnings
+
+    warnings.warn(
+        "morfem(): greedy basis construction stopped after "
+        f"{int(result.iterations)} estimator evaluations WITHOUT reaching "
+        "the error threshold (column budget exhausted, or refinement "
+        "stagnated). The returned reduced model is the best basis found; "
+        "raise config.max_greedy_iterations or relax "
+        "config.error_threshold to converge.",
+        stacklevel=3,
+    )
+
+
 def build_reduced_model(
     sys: AffineSystem,
     config: MorfemConfig = DEFAULT_CONFIG,
@@ -104,6 +131,8 @@ def build_reduced_model(
             greedy_result = greedy_basis(sys, config)
             q, ncols = greedy_result.q, greedy_result.ncols
         jax.block_until_ready(q)
+    if greedy_result is not None:
+        _warn_if_unconverged(greedy_result)
     with timer.phase("projection"):
         rm = project(sys, q, ncols)
         jax.block_until_ready(rm.b_r)
@@ -412,10 +441,11 @@ def _morfem_matfree(
                 r_extra=tuple(r_extra), t_extra=t_extra,
             )
         else:
-            _, rm = greedy_basis_matfree(
+            gres, rm = greedy_basis_matfree(
                 op, b_op, domain, t_a0, t_a1, t_a2, t_b, config=config,
                 t_extra=t_extra,
             )
+            _warn_if_unconverged(gres)
             q_op = rm.q
     rm = rm.trim()
     q_out = rm.q
