@@ -39,7 +39,8 @@ from jax import lax
 from morfem_tpu.config import MorfemConfig, DEFAULT_CONFIG
 from morfem_tpu.ops.pallas.panel_factor import panel_factor
 from morfem_tpu.ops.pallas.fused_mm import fusable, mm_words
-from morfem_tpu.ops.precision import matmul_f32_accurate, split_bf16
+from morfem_tpu.ops.pallas.row_gather import gather_rows
+from morfem_tpu.ops.precision import matmul_f32_accurate
 
 _HI = jax.lax.Precision.HIGHEST
 PANEL = 128
@@ -79,33 +80,6 @@ def full_pivot_panel(n: int, panel: int) -> int:
     if panel > PANEL and 5 * panel * _round_up(n, panel) * 4 > 12 << 20:
         return PANEL
     return panel
-
-
-def pivot_rows_mxu(
-    mat: jax.Array, piv: jax.Array, n_rows: int, words: int = 3
-) -> jax.Array:
-    """Extract rows ``mat[piv]`` (batched) as MXU one-hot contractions.
-
-    XLA's row gather on TPU is two orders of magnitude off bandwidth for
-    this shape (measured 1.7 ms per [8, 3456, W] take — per-index
-    dynamic-slice lowering). A one-hot matmul runs at MXU rates, and is
-    EXACT: the one-hot operand is 0/1 (exactly representable in bf16)
-    and the value operand is split into three bf16 words
-    (`split_bf16`), so each output element is a sum of one exact
-    product per word.
-
-    Args: mat [G, N, W] f32, piv [G, P] int32. Returns [G, P, W] f32.
-    """
-    oh = jax.nn.one_hot(piv, n_rows, dtype=jnp.bfloat16)  # [G, P, N]
-    out = None
-    for word in split_bf16(mat, words):
-        p = jax.lax.dot_general(
-            oh, word,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        out = p if out is None else out + p
-    return out
 
 
 def _unit_lower_inv(l: jax.Array, base: int = 32) -> jax.Array:
@@ -245,8 +219,11 @@ def panel_lu_factor(
         pivs.append(piv)
         if k + 1 < nb:
             tr = rest[:, :, panel:]
-            words = 3 if trail == "f32x6" else 2
-            rows = pivot_rows_mxu(tr, piv, np_, words=words)  # [G, P, W]
+            # pivot rows via the DMA gather kernel: exact at any trail
+            # (the one-hot MXU extraction it replaces cost 2-3 full bf16
+            # passes over the trailing block plus a 3-word HBM split —
+            # ~half the trailing update's FLOPs spent moving 128 rows)
+            rows = gather_rows(tr, piv, interpret=interpret)  # [G, P, W]
             cmat = jnp.swapaxes(c_t, 1, 2)  # [G, Np, P]
             if trail == "f32x6":
                 rest = _mm_true(cmat, rows, t=tr)
@@ -257,8 +234,7 @@ def panel_lu_factor(
 
     perm = jnp.concatenate(pivs, axis=1)  # [G, Np]
     m_fac = jnp.concatenate(done, axis=2)  # [G, Np, Np]
-    gather_rows = jax.vmap(lambda m, idx: jnp.take(m, idx, axis=0))
-    lug = gather_rows(m_fac, perm)
+    lug = gather_rows(m_fac, perm, interpret=interpret)
 
     diag = jnp.stack(
         [lug[:, k * panel : (k + 1) * panel, k * panel : (k + 1) * panel]
@@ -340,7 +316,9 @@ def panel_lu_factor_block(
         def mmt_sub(t, x, y):
             return t - mmt(x, y)
 
-    take = jax.vmap(lambda m, i: jnp.take(m, i, axis=0))
+    def take(m, i):  # batched row gather, DMA kernel (see row_gather.py)
+        return gather_rows(m, i, interpret=interpret)
+
     eye = jnp.eye(panel, dtype=jnp.float32)
     ones_avail = jnp.ones((g, panel), jnp.float32)
     out = jnp.zeros((g, np_, np_), jnp.float32)
