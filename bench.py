@@ -334,9 +334,14 @@ def main():
     log(f"gj_inverse N={sys_.n}: {t_gj*1e3:.0f} ms, |MA-I|/sqrt(N) = {gj_res:.1e}")
 
     # ---- panel-LU factor rate (the dense splu replacement's core) ----
-    from morfem_tpu.ops.panel_lu import panel_lu_factor
+    # Two factors matter: the BLOCK-pivot factor (config default
+    # panel_pivot="block" — what every sweep chunk pays first) and the
+    # FULL-pivot factor (the per-chunk escalation fallback). Measured at
+    # the production batch (solve_chunk) so the GEMM amortization matches
+    # what solve_sweep actually sees.
+    from morfem_tpu.ops.panel_lu import panel_lu_factor, panel_lu_factor_block
 
-    g_fac = 4
+    g_fac = cfg.solve_chunk
     a_batch = jnp.stack(
         [
             assemble_at(sys_, sys_.domain[j], symmetrize=True)[0].astype(
@@ -345,19 +350,27 @@ def main():
             for j in np.linspace(0, N_POINTS - 1, g_fac, dtype=int)
         ]
     )
-    fac_fn = jax.jit(panel_lu_factor)
-    float(jnp.sum(fac_fn(a_batch).lug))  # compile + warm
-    fac_times = []
-    for rep in range(3):
-        a_rep = a_batch * (1.0 + 1e-7 * (rep + 1))  # defeat result caching
-        t0 = time.perf_counter()
-        float(jnp.sum(fac_fn(a_rep).lug))
-        fac_times.append(time.perf_counter() - t0)
-    t_fac = min(fac_times) / g_fac
+
+    def time_factor(fac, panel):
+        fn = jax.jit(lambda a: fac(a, panel=panel))
+        float(jnp.sum(fn(a_batch).lug))  # compile + warm
+        times = []
+        for rep in range(3):
+            a_rep = a_batch * (1.0 + 1e-7 * (rep + 1))  # defeat result cache
+            t0 = time.perf_counter()
+            float(jnp.sum(fn(a_rep).lug))
+            times.append(time.perf_counter() - t0)
+        return min(times) / g_fac
+
+    t_fac = time_factor(panel_lu_factor_block, cfg.panel_width)
     fac_tflops = (2 / 3) * sys_.n**3 / t_fac / 1e12
+    t_fac_full = time_factor(panel_lu_factor, 128)
+    fac_full_tflops = (2 / 3) * sys_.n**3 / t_fac_full / 1e12
     log(
-        f"panel LU factor N={sys_.n}: {t_fac*1e3:.1f} ms/matrix "
-        f"({fac_tflops:.2f} TFLOP/s effective)"
+        f"panel LU factor N={sys_.n} G={g_fac}: block-pivot (default) "
+        f"{t_fac*1e3:.1f} ms/matrix ({fac_tflops:.2f} TFLOP/s effective); "
+        f"full-pivot {t_fac_full*1e3:.1f} ms/matrix "
+        f"({fac_full_tflops:.2f} TFLOP/s)"
     )
 
     # ---- large-N banded-direct MOR end-to-end (BASELINE config 3) ----
@@ -469,6 +482,10 @@ def main():
             "gj_identity_residual": gj_res,
             "panel_factor_ms_per_matrix": round(t_fac * 1e3, 2),
             "panel_factor_tflops": round(fac_tflops, 2),
+            "panel_factor_pivot": "block (config default; escalation-"
+            "guarded, see solve_sweep_panel)",
+            "panel_factor_full_ms_per_matrix": round(t_fac_full * 1e3, 2),
+            "panel_factor_full_tflops": round(fac_full_tflops, 2),
             **banded_extras,
             "device": str(jax.devices()[0]),
         },

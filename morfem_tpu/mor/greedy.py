@@ -91,8 +91,14 @@ def _reduced_from_u(
     """
     mask = column_mask(q.shape[1], ncols, q.dtype)
     qmt = (q * mask).T
-    # one shared Qᵀ split serves all four projections (precision.py)
-    r0, r1, r2, b_r = precise_matmul_many(qmt, (u[0], u[1], u[2], sys.b))
+    # one concatenated CHUNKED product serves all four projections: same
+    # ~1e-15 accuracy class as the ozaki apply it replaces, ~1.4 s of XLA
+    # compile instead of ~10 s inside the greedy while_loop (round-4
+    # ablation: _reduced_from_u 10.4 s -> the chunked trade), and the
+    # [K,N]@[N,3K+M] emulated-f64 runtime is ~ms at greedy shapes
+    r0, r1, r2, b_r = precise_matmul_many(
+        qmt, (u[0], u[1], u[2], sys.b), impl="chunked"
+    )
     return ReducedModel(
         domain=sys.domain,
         q=q,

@@ -30,7 +30,10 @@ import jax.numpy as jnp
 
 _HI = jax.lax.Precision.HIGHEST  # TPU f64 matmuls degrade at default precision
 
-from morfem_tpu.ops.precision import precise_matmul  # noqa: E402
+from morfem_tpu.ops.precision import (  # noqa: E402
+    precise_matmul,
+    precise_matmul_chunked,
+)
 
 
 def column_mask(k: int, ncols: jax.Array, dtype=jnp.float32) -> jax.Array:
@@ -129,7 +132,13 @@ def orthonormalize_append_cgs2(
         mask = column_mask(k, nc, q.dtype)
 
         def project_out(v):
-            coeffs = precise_matmul(q.conj().T, v) * mask
+            # chunked emulated-f64, NOT the ozaki path: a [K,N]@[N] ozaki
+            # instance costs ~8 s of XLA compile inside the greedy
+            # while_loop vs ~1.4 s for the 2-matmul chunked product
+            # (measured round 4: CGS2 compile 18.1 s -> 4.6 s), and the
+            # chunked path is the same ~1e-15 accuracy class at these
+            # contraction widths (partial sums stay in emulated f64).
+            coeffs = precise_matmul_chunked(q.conj().T, v) * mask
             return v - jnp.matmul(q, coeffs, precision=_HI)
 
         v = project_out(project_out(v))

@@ -320,7 +320,7 @@ def ozaki_apply(prep, b: jax.Array) -> jax.Array:
     return out[..., :n] if pad else out
 
 
-def precise_matmul_many(a: jax.Array, bs) -> tuple:
+def precise_matmul_many(a: jax.Array, bs, impl: str = "auto") -> tuple:
     """``(a @ b for b in bs)`` with ONE LHS split and ONE apply.
 
     Trace-size/runtime optimization for compiled loops (the greedy body
@@ -331,12 +331,26 @@ def precise_matmul_many(a: jax.Array, bs) -> tuple:
     four separate applies in a while_loop body were a material part of
     the greedy cold-compile. Elsewhere this is a loop of
     `precise_matmul`.
+
+    ``impl="chunked"`` routes the concatenated product through
+    `precise_matmul_chunked` instead (2 HLO matmuls, ~1.4 s compile, vs
+    ~10 s for an ozaki instance) — the COMPILE-cost trade for narrow
+    products inside compiled loops. Same ~1e-15 accuracy class (chunk
+    partial sums accumulate in emulated f64); runtime is the emulated-f64
+    matmul's, fine for [K,N]@[N, few·K] shapes, ruinous for wide ones.
     """
+    widths = [b.shape[-1] for b in bs]
+    bounds = np.cumsum(widths)[:-1].tolist()
     wide = all(
         jnp.result_type(a.dtype, b.dtype)
         in (jnp.dtype(jnp.float64),)
         for b in bs
     )
+    if impl == "chunked":
+        work = jnp.result_type(a.dtype, *(b.dtype for b in bs))
+        cat = jnp.concatenate([b.astype(work) for b in bs], axis=-1)
+        out = precise_matmul_chunked(a.astype(work), cat)
+        return tuple(jnp.split(out, bounds, axis=-1))
     k = a.shape[-1]
     if (
         wide
@@ -344,12 +358,10 @@ def precise_matmul_many(a: jax.Array, bs) -> tuple:
         and jax.default_backend() == "tpu"
     ):
         prep = ozaki_prepare(a.astype(jnp.float64))
-        widths = [b.shape[-1] for b in bs]
         cat = jnp.concatenate(
             [b.astype(jnp.float64) for b in bs], axis=-1
         )
         out = ozaki_apply(prep, cat)
-        bounds = np.cumsum(widths)[:-1].tolist()
         return tuple(jnp.split(out, bounds, axis=-1))
     return tuple(precise_matmul(a, b) for b in bs)
 
