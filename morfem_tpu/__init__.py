@@ -63,6 +63,7 @@ from morfem_tpu.ops.complex_split import (
     solve_complex_split,
     split_solution,
 )
+from morfem_tpu.mor.complex_model import sweep_complex_reduced
 from morfem_tpu.mor.greedy_matfree import greedy_basis_matfree
 from morfem_tpu.utils.timing import PhaseTimer
 from morfem_tpu.utils.checkpoint import save_reduced_model, load_reduced_model
@@ -106,6 +107,7 @@ __all__ = [
     "gj_solve_refined",
     "gj_inverse_f32",
     "greedy_basis_matfree",
+    "sweep_complex_reduced",
     "PhaseTimer",
     "save_reduced_model",
     "load_reduced_model",

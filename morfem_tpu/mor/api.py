@@ -169,10 +169,13 @@ def morfem(
         AND complex coefficient callables ride the interleaved real 2N
         embedding automatically (symmetrize=False required; complex
         coefficients split into Re/Im operator addends, a complex t_b
-        folds in as |t_b| × per-point phase — see
-        `_morfem_matfree_complex`). The returned q is complex [N, Nr];
-        x is real except when t_b is complex;
-        einsum("nk,ikm->inm", q, x) gives the complex solutions.
+        folds in as |t_b| during the build — see
+        `_morfem_matfree_complex`). Complex routes return the full
+        COMPLEX reduced model: q [N, Nr] complex-orthonormal,
+        a*_r = qᵀ·a*·q, b_r = qᵀ·b and x solving the reduced systems —
+        self-consistent and re-sweepable on any grid
+        (`sweep_complex_reduced`); einsum("nk,ikm->inm", q, x) gives
+        the complex solutions.
       b: [N, M] impulse-vector part.
       t_a0, t_a1, t_a2, t_b: JAX-traceable coefficient callables; defaults
         1, t, t², t.
@@ -217,7 +220,8 @@ def morfem(
         )
         if complex_input or coeffs_complex:
             return _morfem_matfree_complex(
-                domain, a0, a1, a2, b, tables, config, timer
+                domain, a0, a1, a2, b, tables, config, timer,
+                fns=(t_a0, t_a1, t_a2, t_b),
             )
         return _morfem_matfree(
             domain, a0, a1, a2, b, t_a0, t_a1, t_a2, t_b, config, timer
@@ -250,13 +254,16 @@ def _morfem_embedded_dense(
 ):
     """Complex dense `morfem()` on the real 2N embedding (TPU path).
 
-    Returns a complex q [N, Nr] and REAL reduced coordinates/matrices:
-    ``einsum("nk,ikm->inm", q, x)`` gives the complex solutions (the
-    embedding commutes with real coefficient combinations — see
-    ops/complex_split.py; symmetrize must be off, enforced there).
+    The embedding builds the basis (symmetrize must be off, enforced in
+    ops/complex_split.py); the RETURN is the reference-contract complex
+    reduced model — q [N, Nr] complex-orthonormal, r_i = qᵀ·a_i·q over
+    the ORIGINAL complex operators, x re-solved from those Nr×Nr
+    matrices on the host (`mor/complex_model.py`), so the tuple is
+    self-consistent and re-sweeps any grid (implementation.py:186).
     """
     import numpy as np
 
+    from morfem_tpu.mor.complex_model import finish_complex_model
     from morfem_tpu.ops.complex_split import embed_affine_system
 
     sys_e = embed_affine_system(
@@ -264,16 +271,19 @@ def _morfem_embedded_dense(
     )
     rm, _ = build_reduced_model(sys_e, config, timer)
     rm = rm.trim()
-    with timer.phase("reduced sweep"):
-        x = _run_sweep(rm, config)
-        jax.block_until_ready(x)
     n = a0.shape[0]
     q_e = np.asarray(rm.q)
     q_c = q_e[:n] + 1j * q_e[n:]
-    return x, q_c, rm.r0, rm.r1, rm.r2, rm.b_r
+    with timer.phase("complex reduced model"):
+        return finish_complex_model(
+            np.asarray(q_c), np.asarray(a0), np.asarray(a1),
+            np.asarray(a2), b, domain, t_a0, t_a1, t_a2, t_b,
+        )
 
 
-def _morfem_matfree_complex(domain, a0, a1, a2, b, tables, config, timer):
+def _morfem_matfree_complex(
+    domain, a0, a1, a2, b, tables, config, timer, fns
+):
     """Complex `morfem()` — complex operators AND/OR complex coefficient
     callables — on the interleaved real 2N embedding, matrix-free.
 
@@ -295,21 +305,24 @@ def _morfem_matfree_complex(domain, a0, a1, a2, b, tables, config, timer):
 
     ``tables`` are the coefficient callables pre-evaluated over the
     domain grid on the host (`eval_coefficient_table`) — complex128
-    cannot be traced on TPU, so the pipeline carries exact grid-lookup
-    callables instead; evaluating the returned model OFF the original
-    grid is not supported (re-run `morfem` on the new grid).
+    cannot be traced on TPU, so the BUILD carries exact grid-lookup
+    callables instead. The RETURN is grid-generic regardless: the
+    embedded basis is finished into a self-consistent complex Nr×Nr
+    reduced model (`mor/complex_model.py::finish_complex_model`) whose
+    matrices project the ORIGINAL complex operators, so any grid can be
+    re-swept from it with the caller's own callables
+    (`sweep_complex_reduced`) — the reference's return-tuple genericity
+    (implementation.py:186, :468-480).
 
-    Returns (x, q, r0, r1, r2, b_r): q complex [N, Nr]; x reduced
-    coordinates — COMPLEX when t_b is complex (phase folded in), real
-    otherwise; ``einsum("nk,ikm->inm", q, x)`` gives the complex
-    solutions. r0/r1/r2/b_r are the PRIMARY embedded reduced operators
-    (Im-part extras live inside the internal sweep); for complex systems
-    the authoritative artifacts are (x, q).
+    Returns (x, q, r0, r1, r2, b_r) — ALL complex and self-consistent:
+    q [N, Nr] complex-orthonormal, r_i = qᵀ·a_i·q, b_r = qᵀ·b, and x
+    solves (Σ t_ai·r_i)·x = t_b·b_r per point;
+    ``einsum("nk,ikm->inm", q, x)`` gives the complex solutions.
     """
     import numpy as np
 
+    from morfem_tpu.mor.complex_model import finish_complex_model
     from morfem_tpu.ops.complex_split import (
-        deinterleave,
         embed_rhs_interleaved,
         embed_sparse_interleaved,
         grid_lookup_coefficient,
@@ -323,7 +336,7 @@ def _morfem_matfree_complex(domain, a0, a1, a2, b, tables, config, timer):
         )
     ca, cb = tables[:3], tables[3]
     mats = [embed_sparse_interleaved(m) for m in (a0, a1, a2)]
-    fns = [grid_lookup_coefficient(domain, np.real(t)) for t in ca]
+    lk_fns = [grid_lookup_coefficient(domain, np.real(t)) for t in ca]
     extra = []
     for m, t in zip((a0, a1, a2), ca):
         if np.iscomplexobj(t) and np.any(t.imag != 0):
@@ -333,22 +346,25 @@ def _morfem_matfree_complex(domain, a0, a1, a2, b, tables, config, timer):
             ))
     cb_complex = np.iscomplexobj(cb) and np.any(cb.imag != 0)
     if cb_complex:
-        cb_abs = np.abs(cb)
-        phase = np.where(cb_abs > 0, cb / np.where(cb_abs > 0, cb_abs, 1.0),
-                         1.0)
-        tb_fn = grid_lookup_coefficient(domain, cb_abs)
+        # the BUILD solves with |t_b| (phase-invariant residuals, see the
+        # docstring); the returned x comes from the complex reduced model
+        # below, so no per-point phase fold is needed on the way out
+        tb_fn = grid_lookup_coefficient(domain, np.abs(cb))
     else:
         tb_fn = grid_lookup_coefficient(domain, np.real(cb))
     be = embed_rhs_interleaved(b)
-    x, q_e, r0, r1, r2, b_r = _morfem_matfree(
+    _, q_e, *_ = _morfem_matfree(
         domain, mats[0], mats[1], mats[2], be,
-        fns[0], fns[1], fns[2], tb_fn, config, timer,
+        lk_fns[0], lk_fns[1], lk_fns[2], tb_fn, config, timer,
         extra_terms=tuple(extra),
     )
-    q = deinterleave(np.asarray(q_e))
-    if cb_complex:
-        x = np.asarray(x) * phase[:, None, None]
-    return x, q, r0, r1, r2, b_r
+    from morfem_tpu.ops.complex_split import deinterleave
+
+    q_c = deinterleave(np.asarray(q_e))
+    with timer.phase("complex reduced model"):
+        return finish_complex_model(
+            q_c, a0, a1, a2, b, domain, fns[0], fns[1], fns[2], fns[3]
+        )
 
 
 def _morfem_matfree(

@@ -210,11 +210,14 @@ def grid_lookup_coefficient(domain, table):
 
     Returns a JAX-traceable, TPU-safe (real-only) callable t ↦ table[i(t)]
     with i(t) = searchsorted(domain, t): exact whenever t is one of the
-    domain's grid points — which is every evaluation the MOR pipeline
+    domain's grid points — which is every evaluation the BUILD pipeline
     makes (snapshots, estimator, sweeps all run on the domain grid). For
-    off-grid t it snaps to the right neighbour; re-sweeping a complex-
-    coefficient reduced model on a DIFFERENT grid is therefore not
-    supported (re-run `morfem` on the new grid instead).
+    off-grid t it snaps to the right neighbour — which is fine, because
+    these lookups never leave the build: the complex routes RETURN a
+    grid-generic complex reduced model
+    (`mor/complex_model.py::finish_complex_model`), and off-grid
+    re-sweeps go through `sweep_complex_reduced` with the caller's own
+    callables.
     """
     dom = jnp.asarray(np.asarray(domain))
     tab = jnp.asarray(np.asarray(table))

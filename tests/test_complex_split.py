@@ -419,3 +419,96 @@ def test_fully_complex_system_all_callables_complex():
             float(np.linalg.norm(rec[i] - ref) / np.linalg.norm(ref)),
         )
     assert worst < 1e-9, worst
+
+
+def test_complex_return_contract_self_consistent():
+    """r4 verdict missing #3: the complex routes must return a
+    SELF-CONSISTENT complex reduced model — x re-derivable from
+    (r0, r1, r2, b_r) alone, q complex-orthonormal, r_i = qᵀ·a_i·q."""
+    from morfem_tpu.mor.api import morfem
+    from morfem_tpu.mor.complex_model import sweep_complex_reduced
+
+    n = 400
+    a0, a1, a2, b = _complex_banded_sparse(n=n)
+    domain = np.linspace(0.8, 2.0, 16)
+    t_b = lambda t: t * jnp.exp(1j * 0.7 * t)  # noqa: E731
+    cfg = MorfemConfig(
+        symmetrize=False, dense_cutoff=128, error_threshold=1e-18
+    )
+    x, q, r0, r1, r2, b_r = morfem(domain, a0, a1, a2, b, t_b=t_b,
+                                   config=cfg)
+    q = np.asarray(q)
+    # q is complex-orthonormal (compressed)
+    gram = q.conj().T @ q
+    assert np.linalg.norm(gram - np.eye(q.shape[1])) < 1e-12
+    # r_i really are the bilinear projections of the ORIGINAL operators
+    assert np.linalg.norm(r0 - q.T @ (a0 @ q)) < 1e-10 * np.linalg.norm(r0)
+    assert np.linalg.norm(b_r - q.T @ b) < 1e-12 * np.linalg.norm(b_r)
+    # x solves the returned reduced model (the reference's own recipe,
+    # implementation.py:186)
+    x_re = sweep_complex_reduced(
+        r0, r1, r2, b_r, domain,
+        lambda t: jnp.ones_like(t), lambda t: t, lambda t: t**2, t_b,
+    )
+    assert np.linalg.norm(x_re - np.asarray(x)) < 1e-12 * np.linalg.norm(x)
+
+
+def test_complex_model_checkpoint_offgrid_resweep():
+    """r4 verdict missing #2 ("Done" condition): a complex-COEFFICIENT
+    model is checkpointed, reloaded, swept on a DIFFERENT grid, and
+    matches the SciPy complex oracle."""
+    from morfem_tpu.mor.api import morfem
+    from morfem_tpu.mor.complex_model import sweep_complex_reduced
+    from morfem_tpu.mor.reduced import ReducedModel
+    from morfem_tpu.utils.checkpoint import (
+        load_reduced_model,
+        save_reduced_model,
+    )
+
+    n = 400
+    a0, a1, a2, b = _complex_banded_sparse(n=n, seed=5)
+    domain = np.linspace(0.8, 2.0, 20)
+    fns = dict(
+        t_a0=lambda t: jnp.exp(1j * 0.1 * t),  # complex COEFFICIENTS
+        t_a1=lambda t: jnp.zeros_like(t),
+        t_a2=lambda t: t**2,
+        t_b=lambda t: t * jnp.exp(1j * 0.7 * t),
+    )
+    cfg = MorfemConfig(
+        symmetrize=False, dense_cutoff=128, error_threshold=1e-18
+    )
+    x, q, r0, r1, r2, b_r = morfem(domain, a0, a1, a2, b, config=cfg,
+                                   **fns)
+    # checkpoint the returned complex reduced model through the standard
+    # utility (complex arrays round-trip through .npz losslessly)
+    import tempfile
+
+    rm = ReducedModel(
+        domain=jnp.asarray(domain), q=jnp.asarray(q),
+        r0=jnp.asarray(r0), r1=jnp.asarray(r1), r2=jnp.asarray(r2),
+        b_r=jnp.asarray(b_r), ncols=jnp.asarray(q.shape[1]), **fns,
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = d + "/complex_model"
+        save_reduced_model(path, rm)
+        rm2 = load_reduced_model(path, **fns)
+    # re-sweep a DIFFERENT grid (off the build grid, inside its span)
+    grid2 = np.linspace(0.85, 1.95, 23)
+    x2 = sweep_complex_reduced(
+        np.asarray(rm2.r0), np.asarray(rm2.r1), np.asarray(rm2.r2),
+        np.asarray(rm2.b_r), grid2, fns["t_a0"], fns["t_a1"],
+        fns["t_a2"], fns["t_b"],
+    )
+    rec = np.einsum("nk,ikm->inm", np.asarray(rm2.q), x2)
+    worst = 0.0
+    for i in range(0, 23, 3):
+        t = grid2[i]
+        a_t = (
+            np.exp(1j * 0.1 * t) * a0.toarray() + t**2 * a2.toarray()
+        )
+        ref = np.linalg.solve(a_t, (t * np.exp(1j * 0.7 * t)) * b)
+        worst = max(
+            worst,
+            float(np.linalg.norm(rec[i] - ref) / np.linalg.norm(ref)),
+        )
+    assert worst < 1e-9, worst
