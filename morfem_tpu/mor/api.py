@@ -97,6 +97,20 @@ def _warn_if_unconverged(result: GreedyResult) -> None:
         return
     import warnings
 
+    if bool(result.failed_snapshot):
+        warnings.warn(
+            "morfem(): greedy basis construction ABORTED after "
+            f"{int(result.iterations)} estimator evaluations because a "
+            "seed/snapshot solve did not reach an acceptable residual "
+            "(see the preceding snapshot-solver warnings for the failing "
+            "point and residual). The returned reduced model is the best "
+            "basis found; raising config.max_greedy_iterations will NOT "
+            "help — improve the snapshot solver instead (e.g. "
+            "config.band_max_half, Krylov settings, or conditioning of "
+            "the system near the failing point).",
+            stacklevel=3,
+        )
+        return
     warnings.warn(
         "morfem(): greedy basis construction stopped after "
         f"{int(result.iterations)} estimator evaluations WITHOUT reaching "

@@ -67,6 +67,11 @@ class GreedyResult(NamedTuple):
     iterations: jax.Array  # number of estimator evaluations performed
     converged: jax.Array  # bool
     err_hist: jax.Array  # [max_iters + 1, I]; rows ≥ iterations are zero
+    # True when the loop aborted because a seed/snapshot SOLVE was
+    # unhealthy (matfree route, greedy_matfree.py) — a different failure
+    # from budget exhaustion/stagnation, and raising the iteration budget
+    # won't fix it; morfem()'s unconverged warning names the right cause
+    failed_snapshot: bool = False
 
 
 def max_basis_columns(m: int, config: MorfemConfig, n: int | None = None) -> int:

@@ -290,6 +290,7 @@ def greedy_basis_matfree(
         iterations=jnp.asarray(it),
         converged=jnp.asarray(converged),
         err_hist=jnp.asarray(err_hist),
+        failed_snapshot=not healthy,
     )
     rm = _reduced_from_u_matfree(domain, q, ncols, u, b, coeffs).trim()
     return result, rm

@@ -61,13 +61,20 @@ def gather_rows(
 ) -> jax.Array:
     """Batched row gather ``src[g, idx[g], :]`` → [G, P, W], DMA-bound.
 
-    Contract: P a multiple of 128 (every panel-LU use gathers whole
-    128-row panels or the 128-padded full permutation), N a sublane
-    multiple, W a lane multiple. Exact for any float dtype: the sublane
-    select is a 0/1 mask-sum with a single nonzero term per lane.
+    Contract: f32 source only — the 8-rows-per-group design IS the f32
+    (8, 128) HBM tile; a bf16 source lives in (16, 128) tiles and would
+    violate the 8-aligned slice assumption the group DMAs are built on.
+    P a multiple of 128 (every panel-LU use gathers whole 128-row panels
+    or the 128-padded full permutation), N a sublane multiple, W a lane
+    multiple. Exact: the sublane select is a 0/1 mask-sum with a single
+    nonzero term per lane.
     """
     g, n, w = src.shape
     g2, p = idx.shape
+    if src.dtype != jnp.float32:
+        raise ValueError(
+            f"gather_rows is f32-only (tile-size contract), got {src.dtype}"
+        )
     if g != g2:
         raise ValueError(f"batch mismatch: src {src.shape}, idx {idx.shape}")
     if p % 128:

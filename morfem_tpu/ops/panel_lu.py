@@ -182,6 +182,11 @@ def panel_lu_factor(
     """
     if trail not in ("f32x6", "f32x3"):
         raise ValueError(f"trail must be 'f32x6' or 'f32x3', got {trail!r}")
+    if panel % 128:
+        raise ValueError(
+            f"panel must be a multiple of 128 (the row_gather DMA kernel's "
+            f"P contract and the MXU tile), got panel={panel}"
+        )
     if interpret is None:
         interpret = _interpret_default()
     if a.ndim == 2:
@@ -283,6 +288,11 @@ def panel_lu_factor_block(
     """
     if trail not in ("f32x6", "f32x3"):
         raise ValueError(f"trail must be 'f32x6' or 'f32x3', got {trail!r}")
+    if panel % 128:
+        raise ValueError(
+            f"panel must be a multiple of 128 (the row_gather DMA kernel's "
+            f"P contract and the MXU tile), got panel={panel}"
+        )
     if interpret is None:
         interpret = _interpret_default()
     if a.ndim == 2:

@@ -67,12 +67,14 @@ def prepare_spectral_full(
     """
     import scipy.linalg as spl
 
+    # reject BEFORE the f64 casts: casting complex→float64 first emits a
+    # ComplexWarning on the very path that is about to raise (r4 verdict)
+    if any(np.iscomplexobj(np.asarray(x)) for x in (sys.a0, sys.a1, sys.a2, sys.b)):
+        raise ValueError("spectral full-order sweep supports real pencils only")
     a0 = np.asarray(sys.a0, np.float64)
     a1 = np.asarray(sys.a1, np.float64)
     a2 = np.asarray(sys.a2, np.float64)
     b = np.asarray(sys.b, np.float64)
-    if any(np.iscomplexobj(np.asarray(x)) for x in (sys.a0, sys.a1, sys.a2, sys.b)):
-        raise ValueError("spectral full-order sweep supports real pencils only")
     scale = np.linalg.norm(a0) + np.linalg.norm(a2)
     if np.linalg.norm(a1) > 1e-12 * max(scale, 1e-300):
         raise ValueError(

@@ -14,9 +14,15 @@ the textbook row-parallel layout; XLA turns the all_gather into ICI
 collectives.
 
 The same caveat as `morfem_tpu.ops.sparse` applies: Jacobi-preconditioned
-Krylov wants diagonally-dominant / definite operators; strongly indefinite
-in-band Helmholtz needs better preconditioning (future work). The solver
-reports achieved residuals.
+Krylov wants diagonally-dominant / definite operators. For strongly
+indefinite in-band Helmholtz pencils with BANDED structure, the solved
+answer is `parallel/tp_banded.py` — SPIKE distributed banded DIRECT
+solves over the same 'tp' axis (`SpikeBandedOperator`;
+`solve_point_iterative(method="auto")` routes to it whenever the
+operator carries a mesh). This module remains the dense/unstructured
+row-parallel fallback; its Krylov robustness limits are inherent to the
+preconditioner, not missing work. The solver reports achieved
+residuals.
 """
 
 from __future__ import annotations

@@ -131,3 +131,37 @@ def test_tp8_greedy_matfree_indefinite_8k(tp8_mesh):
             worst, np.linalg.norm(rec - ref) / np.linalg.norm(ref)
         )
     assert worst < 1e-8, worst
+
+
+def test_auto_routes_sharded_banded_operator_to_spike(tp8_mesh):
+    """r4 verdict #7: `solve_point_iterative(method="auto")` must pick
+    the SPIKE distributed direct solve whenever the banded operator
+    carries a mesh — and the result must match the SciPy oracle (i.e.
+    the route actually ran a direct solve, not a Krylov fallback)."""
+    from unittest import mock
+
+    from morfem_tpu.ops.sparse import solve_point_iterative
+    from morfem_tpu.parallel import tp_banded
+
+    n, half, m = 1024, 4, 2
+    a0, _ = _banded_mat(n, half, seed=9, indefinite_shift=7.0)  # indefinite
+    a1 = sp.csr_matrix((n, n))
+    a2 = (-1.0 * sp.eye(n)).tocsr()
+    rng = np.random.default_rng(2)
+    rhs = jnp.asarray(rng.standard_normal((n, m)))
+    op = SpikeBandedOperator(
+        a0, a1, a2, mesh=tp8_mesh, symmetrize=False, bandwidth=half
+    )
+    c = jnp.asarray([1.0, 0.0, 1.3])
+    with mock.patch.object(
+        tp_banded, "spike_solve", wraps=tp_banded.spike_solve
+    ) as spy:
+        x, relres = solve_point_iterative(
+            op, c, rhs, return_residual=True
+        )  # method defaults to "auto"
+    assert spy.call_count == 1, "auto did not route to SPIKE"
+    mat = (a0 + 1.3 * a2).tocsc()
+    ref = sp.linalg.spsolve(mat, np.asarray(rhs))
+    rel = float(np.linalg.norm(np.asarray(x) - ref) / np.linalg.norm(ref))
+    assert rel < 1e-9, rel
+    assert float(jnp.max(relres)) < 1e-9

@@ -95,6 +95,23 @@ def main() -> None:
     err = np.abs(got - want).max() / np.abs(want).max()
     check("fused mm_words kernel (f32-true)", err, 5e-6)
 
+    # --- DMA row-gather kernel: compiled Mosaic lowering vs take ---
+    # (interpret-mode unit tests cannot catch tiled-HBM alignment or
+    # scalar-prefetch lowering regressions — ADVICE r4)
+    from morfem_tpu.ops.pallas.row_gather import gather_rows
+
+    gg, ng, wg, pg = 2, 512, 384, 256
+    srcg = jnp.asarray(rng.standard_normal((gg, ng, wg)), jnp.float32)
+    idxg = rng.integers(0, ng, size=(gg, pg))
+    idxg[:, :16] = idxg[:, 100:116]  # duplicates
+    idxg = jnp.asarray(idxg, jnp.int32)
+    outg = np.asarray(gather_rows(srcg, idxg))
+    refg = np.take_along_axis(
+        np.asarray(srcg), np.asarray(idxg)[:, :, None], axis=1
+    )
+    err = float(np.abs(outg - refg).max())
+    check("row-gather DMA kernel (exactness)", err + 1e-300, 1e-30)
+
     # --- panel LU kernel: factor + refined solve round trip ---
     from morfem_tpu.config import MorfemConfig
     from morfem_tpu.ops.panel_lu import solve_batch_panel
