@@ -170,9 +170,12 @@ def _greedy_basis_impl(
     from morfem_tpu.ops.assembly import SharedAffineApply
 
     shared_raw = SharedAffineApply(sys.operators(), symmetrize=False)
+    # symmetric_ops: (A+Aᵀ)/2 is a bit-exact no-op, so the estimator and
+    # the snapshot-solve refinement share ONE hoisted operand split —
+    # one ozaki_prepare + apply instance in the loop trace instead of two
     shared_sym = (
         SharedAffineApply(sys.operators(), symmetrize=True)
-        if config.symmetrize
+        if config.symmetrize and not sys.symmetric_ops
         else shared_raw
     )
     if shared_raw.preps is None:

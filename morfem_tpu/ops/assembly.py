@@ -62,9 +62,17 @@ def impulse_vector(b: jax.Array, cb: jax.Array) -> jax.Array:
 def assemble_at(
     sys: AffineSystem, t: jax.Array, symmetrize: bool = True
 ) -> Tuple[jax.Array, jax.Array]:
-    """Assemble (A(t), b(t)) at a scalar point or batch of points."""
+    """Assemble (A(t), b(t)) at a scalar point or batch of points.
+
+    When the system's operators were verified exactly symmetric at
+    construction (`AffineSystem.symmetric_ops`), the reference's
+    ``(A+Aᵀ)/2`` is a bit-exact no-op and the transpose-add pass over
+    the [..., N, N] batch is skipped.
+    """
     c, cb = sys.coefficients(t)
-    a = system_matrix(sys.operators(), c, symmetrize=symmetrize)
+    a = system_matrix(
+        sys.operators(), c, symmetrize=symmetrize and not sys.symmetric_ops
+    )
     rhs = impulse_vector(sys.b, cb)
     return a, rhs
 

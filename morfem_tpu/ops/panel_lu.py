@@ -522,7 +522,7 @@ def solve_sweep_panel(sys, config: MorfemConfig = DEFAULT_CONFIG):
     wide = jnp.finfo(work).bits > 32
 
     ops = sys.operators()
-    if config.symmetrize:
+    if config.symmetrize and not sys.symmetric_ops:
         ops = tuple((o + o.T) * 0.5 for o in ops)
     use_ozaki = (
         wide

@@ -427,7 +427,10 @@ def solve_sweep(
     # RESOURCE_EXHAUSTED) and redo work the affine structure shares.
     from morfem_tpu.ops.assembly import SharedAffineApply
 
-    shared = SharedAffineApply(sys.operators(), symmetrize=config.symmetrize)
+    shared = SharedAffineApply(
+        sys.operators(),
+        symmetrize=config.symmetrize and not sys.symmetric_ops,
+    )
     if shared.preps is None:
         shared = None  # off the ozaki path: local accurate matmuls are fine
     xs = lax.map(lambda tc: solve_batch(sys, tc, config, shared=shared), ts)

@@ -100,6 +100,16 @@ class AffineSystem:
     t_b: Coefficient = dataclasses.field(
         default=_default_t_b, metadata=dict(static=True)
     )
+    # True when a0/a1/a2 were verified EXACTLY symmetric at construction.
+    # Then the reference's symmetrization (A+Aᵀ)/2 (implementation.py:528)
+    # is a bit-exact no-op ((x+x)/2 == x in IEEE), and the compute paths
+    # skip it: assembly drops the transpose-add, and the greedy shares ONE
+    # hoisted Ozaki operand split between the estimator (raw semantics)
+    # and the snapshot-solve refinement (assembled/symmetrized semantics)
+    # instead of two — a cold-compile and HBM saving (r4 verdict #3).
+    symmetric_ops: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     # -- construction -----------------------------------------------------
 
@@ -136,7 +146,21 @@ class AffineSystem:
             b = b[:, None]
         if b.shape[0] != n:
             raise ValueError(f"b must have {n} rows, got {b.shape}")
-        return AffineSystem(domain, a0, a1, a2, b, t_a0, t_a1, t_a2, t_b)
+        # Exact-symmetry probe (host decision, device compute — one scalar
+        # readback per constructor call). Under tracing the comparison is
+        # abstract and bool() raises → hint stays False, always safe.
+        try:
+            symmetric = bool(
+                jnp.all(a0 == a0.T)
+                & jnp.all(a1 == a1.T)
+                & jnp.all(a2 == a2.T)
+            )
+        except Exception:
+            symmetric = False
+        return AffineSystem(
+            domain, a0, a1, a2, b, t_a0, t_a1, t_a2, t_b,
+            symmetric_ops=symmetric,
+        )
 
     # -- basic properties ---------------------------------------------------
 

@@ -257,3 +257,51 @@ class TestCholeskyQRRefine:
         q = jnp.zeros((50, 4), jnp.float64)
         out = cholesky_qr_refine(q)
         assert np.all(np.asarray(out) == 0.0)
+
+
+class TestSymmetricOpsHint:
+    def test_detected_and_bit_identical(self, rng):
+        """symmetric_ops: exactly-symmetric operators skip the (A+Aᵀ)/2
+        pass, which must be a bit-exact no-op — and asymmetric operators
+        must NOT take the shortcut."""
+        from morfem_tpu.ops.assembly import assemble_at, system_matrix
+        from morfem_tpu.system import AffineSystem
+
+        n = 24
+        s = rng.standard_normal((n, n))
+        s = (s + s.T) * 0.5
+        b = rng.standard_normal((n, 2))
+        dom = np.linspace(1.0, 2.0, 5)
+        sym_sys = AffineSystem.create(dom, s, 0 * s, -s, b)
+        assert sym_sys.symmetric_ops
+        a_fast, _ = assemble_at(sym_sys, jnp.asarray(dom), symmetrize=True)
+        c, _ = sym_sys.coefficients(jnp.asarray(dom))
+        a_ref = system_matrix(sym_sys.operators(), c, symmetrize=True)
+        np.testing.assert_array_equal(np.asarray(a_fast), np.asarray(a_ref))
+
+        g = rng.standard_normal((n, n))  # generic: not symmetric
+        asym_sys = AffineSystem.create(dom, g, 0 * g, -g, b)
+        assert not asym_sys.symmetric_ops
+        a_asym, _ = assemble_at(asym_sys, jnp.asarray(dom), symmetrize=True)
+        c2, _ = asym_sys.coefficients(jnp.asarray(dom))
+        a_ref2 = system_matrix(asym_sys.operators(), c2, symmetrize=True)
+        np.testing.assert_array_equal(
+            np.asarray(a_asym), np.asarray(a_ref2)
+        )
+        # and the symmetrization really happened on the asymmetric system
+        assert np.allclose(
+            np.asarray(a_asym[0]), np.asarray(a_asym[0]).T
+        )
+
+    def test_traced_construction_defaults_false(self):
+        from morfem_tpu.system import AffineSystem
+
+        def build(a):
+            sys = AffineSystem.create(
+                np.linspace(1, 2, 3), a, 0.0 * a, -a, a[:, :1]
+            )
+            assert not sys.symmetric_ops  # tracer → hint must stay off
+            return sys.a0
+
+        a = jnp.eye(8, dtype=jnp.float64)
+        jax.jit(build)(a)
