@@ -239,12 +239,28 @@ def greedy_basis_matfree(
             )
         return x, True
 
+    # Host-driven loop discipline: EVERY device computation below runs
+    # under jit. Eager jnp code here would work numerically, but each of
+    # its small ops is a separate XLA program, and on the axon remote-
+    # compile path each program pays seconds of compile-service latency —
+    # an eager orthonormalize_svd of the seeds alone (ozaki splits inside
+    # cholesky_qr_refine) measured MINUTES at N≈9.4k before the first
+    # greedy iteration started. This, not runtime, was what made the
+    # large-N banded bench extra unboundable in rounds 3/4.
+    @jax.jit
+    def init_seed_basis(x0, x1):
+        seeds = jnp.concatenate([x0, x1], axis=1).astype(dtype)
+        q = jnp.zeros((n, k), dtype)
+        return q.at[:, : 2 * m].set(orthonormalize_svd(seeds))
+
+    @jax.jit
+    def reduced_from(q, ncols, u):
+        return _reduced_from_u_matfree(domain, q, ncols, u, b, coeffs)
+
     # seeds: snapshots at the domain ends (implementation.py:222-226)
     x0, ok0 = solve_checked(domain[0])
     x1, ok1 = solve_checked(domain[-1])
-    seeds = jnp.concatenate([x0, x1], axis=1).astype(dtype)
-    q = jnp.zeros((n, k), dtype)
-    q = q.at[:, : 2 * m].set(orthonormalize_svd(seeds))
+    q = init_seed_basis(x0, x1)
     ncols = jnp.asarray(2 * m)
 
     err_hist = np.zeros((max_iters + 1, i_pts), jnp.zeros((), rdtype).dtype)
@@ -292,5 +308,5 @@ def greedy_basis_matfree(
         err_hist=jnp.asarray(err_hist),
         failed_snapshot=not healthy,
     )
-    rm = _reduced_from_u_matfree(domain, q, ncols, u, b, coeffs).trim()
+    rm = reduced_from(q, ncols, u).trim()
     return result, rm

@@ -177,6 +177,68 @@ def banded_matvec(
     )
 
 
+# Above this bandwidth the per-diagonal formulations become COMPILE bombs:
+# both the VPU kernel and the jnp reference matvec spell out one
+# shifted multiply-add PER DIAGONAL (a Python loop), so a BW=387 operator
+# unrolls to ~400 HLO/Mosaic ops — measured 46 s of XLA compile for ONE
+# f32 matvec instance and ~126 s for the estimator's three f64 applies at
+# N=9.4k (round 5). Wide bands route to `banded_matvec_blocked` instead:
+# the SAME operator as block-tridiagonal (L, D, U) blocks — three batched
+# GEMMs, a handful of HLO ops, MXU work. The per-diagonal forms stay for
+# narrow bands, where they are both cheaper to compile and faster (the
+# GEMM form pays 3·block/BW ≈ 8× the FLOPs at BW ≈ 50).
+WIDE_BW = 96
+
+
+def banded_matvec_blocked(
+    band: jax.Array,  # [N, BW] diagonal storage
+    half: int,
+    x: jax.Array,  # [N, M] (or [N])
+    precision=None,
+) -> jax.Array:
+    """y = A·x as block-tridiagonal GEMMs — the wide-band matvec.
+
+    Exact reformulation for any block ≥ half (uses `band_to_blocks`):
+    y_I = L_I·x_{I−1} + D_I·x_I + U_I·x_{I+1}. Costs 3·nb·b²·M FLOPs on
+    the MXU vs N·BW·M on the VPU, but compiles to a constant number of
+    ops regardless of bandwidth. ``precision`` defaults to HIGHEST for
+    ≥64-bit dtypes (refinement residual quality) and HIGH for f32 (the
+    Krylov-loop operator; HIGHEST f32 matmuls fall off a software cliff
+    on this platform — see ops/precision.py).
+    """
+    from morfem_tpu.ops.block_tridiag import band_to_blocks
+
+    n = band.shape[0]
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    if precision is None:
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if jnp.finfo(x.dtype).bits > 32
+            else jax.lax.Precision.HIGH
+        )
+    b = max(128, _round_up(half, 128))
+    l, d, u = band_to_blocks(band, half, b)
+    nb = l.shape[0]
+    m = x.shape[1]
+    xp = jnp.zeros((nb * b, m), x.dtype).at[:n].set(x)
+    xb = xp.reshape(nb, b, m)
+    zero = jnp.zeros((1, b, m), x.dtype)
+    x_prev = jnp.concatenate([zero, xb[:-1]], axis=0)
+    x_next = jnp.concatenate([xb[1:], zero], axis=0)
+    ld = l.astype(x.dtype)
+    dd = d.astype(x.dtype)
+    ud = u.astype(x.dtype)
+    y = (
+        jnp.matmul(ld, x_prev, precision=precision)
+        + jnp.matmul(dd, xb, precision=precision)
+        + jnp.matmul(ud, x_next, precision=precision)
+    )
+    y = y.reshape(nb * b, m)[:n]
+    return y[:, 0] if squeeze else y
+
+
 def combine_addends(c: jax.Array, stacked: jax.Array) -> jax.Array:
     """Σ_p c_p·S_p over the leading addend axis of [P, ...] storage.
 
@@ -244,11 +306,17 @@ class BandedAffineOperator:
         self.tile = tile
         self.n = n
         self.bw = bw
-        # pre-padded kernel operands, combined per-t in `bind`
-        self.bands_p = jnp.stack(
-            [pad_band(jnp.asarray(a), tile) for a in aligned]
-        )
         self.bands_w = jnp.asarray(aligned)  # working-dtype bands [P, N, BW]
+        if bw > WIDE_BW:
+            # wide bands: `bind` runs the blocked-GEMM matvec straight off
+            # bands_w; the padded VPU-kernel operand would only burn HBM
+            # ([P, N_pad, BW_pad] f32 — ~316 MB at N=34k, BW=751)
+            self.bands_p = jnp.zeros((len(mats), 0, 0), jnp.float32)
+        else:
+            # pre-padded kernel operands, combined per-t in `bind`
+            self.bands_p = jnp.stack(
+                [pad_band(jnp.asarray(a), tile) for a in aligned]
+            )
         self.diags = jnp.asarray(aligned[:, :, self.half])  # [P, N]
 
     @property
@@ -257,8 +325,17 @@ class BandedAffineOperator:
 
     def bind(self, c: jax.Array):
         """Combine the bands for coefficients c ONCE (outside solver loops)
-        and return the bound matvec closure."""
-        band_t = combine_addends(c, self.bands_p).astype(
+        and return the bound matvec closure (f32 compute either way)."""
+        if self.bw > WIDE_BW:
+            band_t = combine_addends(c, self.bands_w).astype(jnp.float32)
+
+            def mv(x):
+                return banded_matvec_blocked(
+                    band_t, self.half, x.astype(jnp.float32)
+                ).astype(x.dtype)
+
+            return mv
+        band_p = combine_addends(c, self.bands_p).astype(
             jnp.float32
         )  # the kernel computes in f32
 
@@ -267,7 +344,7 @@ class BandedAffineOperator:
             if squeeze:
                 x = x[:, None]
             y = banded_matvec_padded(
-                band_t, self.n, self.bw, self.half, x, tile=self.tile
+                band_p, self.n, self.bw, self.half, x, tile=self.tile
             ).astype(x.dtype)
             return y[:, 0] if squeeze else y
 
@@ -307,10 +384,14 @@ def banded_matvec_ref(band: jax.Array, half: int, x: jax.Array) -> jax.Array:
     """Reference banded matvec in plain jnp (any dtype, e.g. f64).
 
     O(N·BW·M) elementwise work — cheap even in TPU's emulated f64; used as
-    the high-precision residual operator around the f32 kernel.
+    the high-precision residual operator around the f32 kernel. Wide bands
+    take the blocked-GEMM form: the per-diagonal loop below unrolls into
+    BW HLO ops (a compile bomb at BW ≈ 400+, see WIDE_BW).
     """
     n = band.shape[0]
     bw = band.shape[1]
+    if bw > WIDE_BW:
+        return banded_matvec_blocked(band, half, x)
     squeeze = x.ndim == 1
     if squeeze:
         x = x[:, None]

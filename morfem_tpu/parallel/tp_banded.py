@@ -63,7 +63,9 @@ from morfem_tpu.ops.block_tridiag import (
     block_tridiag_factor,
 )
 from morfem_tpu.ops.pallas.banded_matvec import (
+    WIDE_BW,
     BandedAffineOperator,
+    banded_matvec_blocked,
     combine_addends,
 )
 from morfem_tpu.utils.pytreereg import register_operator_pytree
@@ -304,6 +306,23 @@ def spike_solve(
             j0 = lax.axis_index(axis) * n_loc
             x_pad = jnp.zeros((npad + 2 * h, m), x_all.dtype)
             x_pad = lax.dynamic_update_slice(x_pad, x_all, (h, 0))
+            if bw > WIDE_BW:
+                # wide bands: the per-diagonal loop below unrolls into BW
+                # HLO ops per shard (a compile bomb at BW≈400+, see
+                # ops/pallas/banded_matvec.WIDE_BW). Blocked-GEMM form on
+                # the strip: pad the local band with h edge rows so the
+                # square blocked matvec over the halo'd window reproduces
+                # the strip product exactly.
+                w_loc = lax.dynamic_slice(
+                    x_pad,
+                    (j0, jnp.asarray(0, j0.dtype)),
+                    (n_loc + 2 * h, m),
+                )
+                band2 = jnp.zeros(
+                    (n_loc + 2 * h, bw), band_loc.dtype
+                ).at[h : h + n_loc].set(band_loc)
+                y2 = banded_matvec_blocked(band2, h, w_loc)
+                return y2[h : h + n_loc]
             y = jnp.zeros((n_loc, m), x_all.dtype)
             for d_off in range(bw):
                 seg = lax.dynamic_slice(

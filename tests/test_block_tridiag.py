@@ -301,3 +301,35 @@ def test_cyclic_reduction_matches_scan():
         factorization="cr",
     )
     assert float(jnp.max(relres)) < 1e-10
+
+
+@pytest.mark.parametrize("half,m,dtype", [
+    (70, 3, jnp.float64),   # bw=141 > WIDE_BW -> blocked-GEMM path
+    (70, 1, jnp.float32),
+    (200, 2, jnp.float64),  # half > 128 -> block=256
+])
+def test_wide_band_matvec_blocked_matches_dense(rng, half, m, dtype):
+    """Wide bands route the matvec through block-tridiagonal GEMMs (the
+    per-diagonal unroll is a compile bomb at BW≈400, round 5); the
+    blocked form must be an exact reformulation at any half/block."""
+    from morfem_tpu.ops.pallas.banded_matvec import (
+        WIDE_BW,
+        banded_matvec_ref,
+        to_banded,
+    )
+
+    n = 700
+    a = np.zeros((n, n))
+    for d in range(-half, half + 1):
+        v = rng.standard_normal(n - abs(d)) * (0.5 ** abs(d) + 0.01)
+        a += np.diag(v, k=d)
+    band, h = to_banded(a)
+    assert band.shape[1] > WIDE_BW
+    x = rng.standard_normal((n, m)) if m > 1 else rng.standard_normal(n)
+    y = banded_matvec_ref(
+        jnp.asarray(band, dtype), h, jnp.asarray(x, dtype)
+    )
+    ref = a @ x
+    tol = 1e-12 if dtype == jnp.float64 else 2e-5
+    rel = np.linalg.norm(np.asarray(y, np.float64) - ref) / np.linalg.norm(ref)
+    assert rel < tol, rel
