@@ -12,7 +12,10 @@ timeout, so an unbounded compile here can NEVER cost the headline artifact
 to stdout with `banded_*` keys; all progress goes to stderr.
 
 Knobs (env):
-  BENCH_BANDED_P      cross-section side p; N = p^2 (default 185 -> N=34225)
+  BENCH_BANDED_P      cross-section side p; N = p^2 (default 97 -> N=9409;
+                      185 -> the N=34225 stress case, recorded standalone in
+                      BANDED_34K.json — its ~7 min wall cannot fit the bench
+                      subprocess budget, measured round 5)
   BENCH_BANDED_POINTS frequency grid size (default 100)
 """
 
@@ -60,7 +63,7 @@ def main():
     # see banded_waveguide_system_2d's docstring. The 2-D pencil has
     # cond ~ N and ~11 in-band resonances: the same physics regime as the
     # bundled N=3411 problem.
-    bp = int(os.environ.get("BENCH_BANDED_P", 185))
+    bp = int(os.environ.get("BENCH_BANDED_P", 97))
     c_sp, tt_sp, wp = banded_waveguide_system_2d(bp, m=2, seed=1)
     bn = c_sp.shape[0]
     log(f"banded bench: p={bp} N={bn}")
