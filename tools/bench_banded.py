@@ -83,14 +83,20 @@ def main():
     )
     b_dev = jnp.asarray(wp)[perm_b]
     idx = np.linspace(0, n_points - 1, 7, dtype=int)
+    # operator and rhs cross the jit boundary as ARGUMENTS: a closure
+    # embeds the [P, N, BW] f64 bands as HLO constants — 617 MB at N=34k,
+    # which overflows the axon remote-compile request (HTTP 413; the r3
+    # lesson, utils/pytreereg.py)
     solve_b = jax.jit(
-        lambda c, cb: banded_direct_solve(op_b, c, cb * b_dev, cfg_b)[0]
+        lambda op, bd, c, cb: banded_direct_solve(op, c, cb * bd, cfg_b)[0]
     )
     t_vals = jnp.asarray(freq)[idx]
     cs_b = jnp.stack([jnp.ones_like(t_vals), t_vals, t_vals**2], axis=-1)
     cbs_b = t_vals
     t0 = time.perf_counter()
-    x_oracle = jnp.stack([solve_b(cs_b[j], cbs_b[j]) for j in range(len(idx))])
+    x_oracle = jnp.stack(
+        [solve_b(op_b, b_dev, cs_b[j], cbs_b[j]) for j in range(len(idx))]
+    )
     float(jnp.sum(x_oracle))
     t_oracle = (time.perf_counter() - t0) / len(idx)
     qb_perm = jnp.asarray(qb)[perm_b]  # oracle lives in RCM order
