@@ -337,12 +337,16 @@ def waveguide_system(
     gamma = data.t_mat * GAMMA_SCALE
     b = data.wp * B_SCALE
     kte = data.kte
+    # operators stay HOST numpy into create(): the exact-symmetry probe
+    # (AffineSystem.symmetric_ops) runs only on host inputs — pre-wrapping
+    # in jnp.asarray would both skip the hint and add nothing (create
+    # converts via _as_dense anyway)
     return AffineSystem.create(
         jnp.asarray(frequency_points, dtype),
-        jnp.asarray(data.c_mat, dtype),
-        jnp.zeros((n, n), dtype),
-        jnp.asarray(gamma, dtype),
-        jnp.asarray(b, dtype),
+        np.asarray(data.c_mat, np.dtype(dtype)),
+        np.zeros((n, n), np.dtype(dtype)),
+        np.asarray(gamma, np.dtype(dtype)),
+        np.asarray(b, np.dtype(dtype)),
         t_b=lambda t: b_coefficient(t, kte),
         dtype=dtype,
     )

@@ -55,6 +55,30 @@ def _default_t_b(t):
     return t
 
 
+def _host_symmetric(x) -> bool:
+    """Exact host-side symmetry check; False for device arrays/tracers.
+
+    numpy arrays (and array-likes) compare in ~30 ms at N=3411; SciPy
+    sparse via the structural (x != x.T).nnz == 0. jax Arrays would need
+    a device round trip (or worse, eager remote-compiled comparisons) —
+    not worth it for an optimization hint, so they conservatively
+    return False.
+    """
+    try:
+        if hasattr(x, "nnz") and hasattr(x, "T"):  # SciPy sparse
+            return (x != x.T).nnz == 0
+        if isinstance(x, jax.Array) or isinstance(x, jax.core.Tracer):
+            return False
+        xh = np.asarray(x)
+        return (
+            xh.ndim == 2
+            and xh.shape[0] == xh.shape[1]
+            and np.array_equal(xh, xh.T)
+        )
+    except Exception:
+        return False
+
+
 def _as_dense(a, dtype=None):
     """Accept numpy / jnp arrays, SciPy sparse, or JAX BCOO; return jnp dense."""
     if a is None:
@@ -131,6 +155,15 @@ class AffineSystem:
         Mirrors the reference constructor signature and defaults
         (implementation.py:99-108: t_a0=1, t_a1=t, t_a2=t², t_b=t).
         """
+        # Exact-symmetry probe, STRICTLY ON THE HOST and BEFORE device
+        # conversion: a device-side `jnp.all(a == a.T)` at N=3411 measured
+        # 138 s of eager remote-compiles + transfers over the axon tunnel
+        # (round 5) — for a hint whose host check costs ~30 ms. Inputs
+        # that are already device arrays (or tracers) skip the probe: the
+        # hint defaults off, which is always safe (see `symmetric_ops`).
+        symmetric = all(
+            _host_symmetric(x) for x in (a0, a1, a2)
+        )
         domain = jnp.asarray(domain, dtype=dtype)
         a0 = _as_dense(a0, dtype)
         a1 = _as_dense(a1, dtype)
@@ -146,17 +179,6 @@ class AffineSystem:
             b = b[:, None]
         if b.shape[0] != n:
             raise ValueError(f"b must have {n} rows, got {b.shape}")
-        # Exact-symmetry probe (host decision, device compute — one scalar
-        # readback per constructor call). Under tracing the comparison is
-        # abstract and bool() raises → hint stays False, always safe.
-        try:
-            symmetric = bool(
-                jnp.all(a0 == a0.T)
-                & jnp.all(a1 == a1.T)
-                & jnp.all(a2 == a2.T)
-            )
-        except Exception:
-            symmetric = False
         return AffineSystem(
             domain, a0, a1, a2, b, t_a0, t_a1, t_a2, t_b,
             symmetric_ops=symmetric,
