@@ -246,14 +246,39 @@ def morfem(
         np.iscomplexobj(m.data if sp_is(m) else np.asarray(m))
         for m in (a0, a1, a2, b)
     )
-    if dense_complex and jax.default_backend() == "tpu":
-        # complex128 does not exist on TPU (even the transfer hangs the
-        # backend); run the pipeline on the real 2N embedding instead —
-        # the splu/lu_factor dtype-genericity the reference gets for free
-        # (implementation.py:468-480).
-        return _morfem_embedded_dense(
-            domain, a0, a1, a2, b, t_a0, t_a1, t_a2, t_b, config, timer
+    if jax.default_backend() == "tpu":
+        from morfem_tpu.ops.complex_split import eval_coefficient_table
+
+        coeff_tables = [
+            eval_coefficient_table(domain, fn)
+            for fn in (t_a0, t_a1, t_a2, t_b)
+        ]
+        dense_coeffs_complex = any(
+            np.iscomplexobj(t) and np.any(t.imag != 0)
+            for t in coeff_tables
         )
+        if dense_coeffs_complex:
+            # complex COEFFICIENTS with dense/small operators: the 2N
+            # embedding requires real coefficients (it only commutes
+            # with real combinations), and the interleaved P-generic
+            # machinery is a sparse pipeline. The dense pipeline itself
+            # is dtype-generic — so run it on the CPU backend, where
+            # complex128 is native (exactly the reference's own
+            # arithmetic, implementation.py:468-480). N ≤ dense_cutoff
+            # here, well within host LU reach.
+            return _morfem_dense_on_cpu(
+                domain, a0, a1, a2, b, t_a0, t_a1, t_a2, t_b, config,
+                timer,
+            )
+        if dense_complex:
+            # complex128 does not exist on TPU (even the transfer hangs
+            # the backend); run the pipeline on the real 2N embedding —
+            # the splu/lu_factor dtype-genericity the reference gets for
+            # free (implementation.py:468-480).
+            return _morfem_embedded_dense(
+                domain, a0, a1, a2, b, t_a0, t_a1, t_a2, t_b, config,
+                timer,
+            )
     sys = AffineSystem.create(domain, a0, a1, a2, b, t_a0, t_a1, t_a2, t_b)
     rm, _ = build_reduced_model(sys, config, timer)
     rm = rm.trim()
@@ -261,6 +286,39 @@ def morfem(
         x = _run_sweep(rm, config)
         jax.block_until_ready(x)
     return x, rm.q, rm.r0, rm.r1, rm.r2, rm.b_r
+
+
+def _morfem_dense_on_cpu(
+    domain, a0, a1, a2, b, t_a0, t_a1, t_a2, t_b, config, timer
+):
+    """Dense `morfem()` pinned to the CPU backend (complex128 native).
+
+    The corner this serves: TPU sessions with DENSE/small operators and
+    complex-valued coefficient callables. The 2N embedding cannot carry
+    complex coefficients (it commutes with REAL combinations only,
+    ops/complex_split.py), and the interleaved Re/Im-addend machinery is
+    a sparse pipeline — but the dense pipeline is already dtype-generic,
+    so the correct and simple route is to run it where complex128
+    exists. N ≤ config.dense_cutoff here, well within host LU reach;
+    the returned tuple is the native complex reduced model (already
+    self-consistent — no finishing step needed).
+    """
+    import numpy as np
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        sys = AffineSystem.create(
+            np.asarray(domain),
+            *(np.asarray(m.todense()) if hasattr(m, "todense")
+              else np.asarray(m) for m in (a0, a1, a2, b)),
+            t_a0, t_a1, t_a2, t_b,
+        )
+        rm, _ = build_reduced_model(sys, config, timer)
+        rm = rm.trim()
+        with timer.phase("reduced sweep"):
+            x = _run_sweep(rm, config)
+            jax.block_until_ready(x)
+        return x, rm.q, rm.r0, rm.r1, rm.r2, rm.b_r
 
 
 def _morfem_embedded_dense(

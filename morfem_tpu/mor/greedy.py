@@ -169,18 +169,27 @@ def _greedy_basis_impl(
     # refinement residuals (which see the assembled/symmetrized A(t)).
     from morfem_tpu.ops.assembly import SharedAffineApply
 
-    shared_raw = SharedAffineApply(sys.operators(), symmetrize=False)
-    # symmetric_ops: (A+Aᵀ)/2 is a bit-exact no-op, so the estimator and
-    # the snapshot-solve refinement share ONE hoisted operand split —
-    # one ozaki_prepare + apply instance in the loop trace instead of two
-    shared_sym = (
-        SharedAffineApply(sys.operators(), symmetrize=True)
-        if config.symmetrize and not sys.symmetric_ops
-        else shared_raw
-    )
-    if shared_raw.preps is None:
-        shared_raw = shared_sym = None  # off the ozaki path: smaller to
-        # let the solvers use their local accurate matmuls
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        # complex working dtype (complex coefficient callables, or a
+        # CPU-native complex run): the hoisted ozaki applies are
+        # real-only — their f64 cast would drop imaginary parts
+        # (assembly.py raises). The solvers' local precise_matmul
+        # handles complex correctly.
+        shared_raw = shared_sym = None
+    else:
+        shared_raw = SharedAffineApply(sys.operators(), symmetrize=False)
+        # symmetric_ops: (A+Aᵀ)/2 is a bit-exact no-op, so the estimator
+        # and the snapshot-solve refinement share ONE hoisted operand
+        # split — one ozaki_prepare + apply instance in the loop trace
+        # instead of two
+        shared_sym = (
+            SharedAffineApply(sys.operators(), symmetrize=True)
+            if config.symmetrize and not sys.symmetric_ops
+            else shared_raw
+        )
+        if shared_raw.preps is None:
+            shared_raw = shared_sym = None  # off the ozaki path: the
+            # solvers then use their local accurate matmuls
 
     # The two SEED snapshots (domain[0], domain[-1] —
     # implementation.py:222-226) run through the SAME while_loop body as

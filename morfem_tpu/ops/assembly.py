@@ -122,6 +122,14 @@ class SharedAffineApply:
         from morfem_tpu.ops import precision as _prec
 
         if self.preps is not None:
+            if jnp.issubdtype(x.dtype, jnp.complexfloating):
+                # the f64 cast below would silently DROP the imaginary
+                # part; complex callers must not reach the ozaki path
+                # (greedy gates shared applies off for complex dtypes)
+                raise TypeError(
+                    "SharedAffineApply ozaki path is real-only; got "
+                    f"complex operand {x.dtype}"
+                )
             return _prec.ozaki_apply(self.preps, x.astype(jnp.float64))
         return jnp.stack(
             [_prec.precise_matmul(o, x) for o in self.ops]

@@ -427,12 +427,19 @@ def solve_sweep(
     # RESOURCE_EXHAUSTED) and redo work the affine structure shares.
     from morfem_tpu.ops.assembly import SharedAffineApply
 
-    shared = SharedAffineApply(
-        sys.operators(),
-        symmetrize=config.symmetrize and not sys.symmetric_ops,
-    )
-    if shared.preps is None:
-        shared = None  # off the ozaki path: local accurate matmuls are fine
+    c_probe, cb_probe = sys.coefficients(sys.domain[:1])
+    if jnp.issubdtype(
+        jnp.result_type(sys.dtype, c_probe.dtype, cb_probe.dtype),
+        jnp.complexfloating,
+    ):
+        shared = None  # ozaki applies are real-only (assembly.py raises)
+    else:
+        shared = SharedAffineApply(
+            sys.operators(),
+            symmetrize=config.symmetrize and not sys.symmetric_ops,
+        )
+        if shared.preps is None:
+            shared = None  # off the ozaki path: local matmuls are fine
     xs = lax.map(lambda tc: solve_batch(sys, tc, config, shared=shared), ts)
     xs = xs.reshape((-1,) + xs.shape[2:])
     return xs[:i]

@@ -512,3 +512,44 @@ def test_complex_model_checkpoint_offgrid_resweep():
             float(np.linalg.norm(rec[i] - ref) / np.linalg.norm(ref)),
         )
     assert worst < 1e-9, worst
+
+
+def test_dense_complex_coefficients_cpu_route():
+    """TPU sessions route DENSE systems with complex COEFFICIENT
+    callables to `_morfem_dense_on_cpu` (the 2N embedding needs real
+    coefficients; the interleaved machinery is sparse-only). Exercise
+    the routed function directly — the pipeline it runs is the same
+    dtype-generic dense path the CPU suite uses."""
+    from morfem_tpu.mor.api import _morfem_dense_on_cpu
+    from morfem_tpu.utils.timing import PhaseTimer
+
+    rng = np.random.default_rng(21)
+    n = 96
+    g = rng.standard_normal((n, n))
+    a0 = (g + g.T) * 0.5 + 6.0 * np.eye(n)
+    a1 = np.zeros((n, n))
+    a2 = -np.eye(n)
+    b = rng.standard_normal((n, 2))
+    domain = np.linspace(0.8, 1.6, 12)
+    t_a0 = lambda t: jnp.exp(1j * 0.2 * t)  # noqa: E731
+    from morfem_tpu.system import _default_t_a1, _default_t_a2, _default_t_b
+
+    cfg = MorfemConfig(
+        symmetrize=False, error_threshold=1e-18,
+        max_greedy_iterations=20,
+    )
+    x, q, r0, r1, r2, b_r = _morfem_dense_on_cpu(
+        domain, a0, a1, a2, b, t_a0, _default_t_a1, _default_t_a2,
+        _default_t_b, cfg, PhaseTimer(disabled=True),
+    )
+    rec = np.einsum("nk,ikm->inm", np.asarray(q), np.asarray(x))
+    worst = 0.0
+    for i in (0, 6, 11):
+        t = domain[i]
+        ref = np.linalg.solve(
+            np.exp(1j * 0.2 * t) * a0 - t**2 * np.eye(n), t * b
+        )
+        worst = max(
+            worst, float(np.linalg.norm(rec[i] - ref) / np.linalg.norm(ref))
+        )
+    assert worst < 1e-9, worst
