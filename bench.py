@@ -5,11 +5,12 @@ Measures, on the real device (TPU when available):
   1. full-order sweep wall time over the waveguide frequency grid — the
      "No MOR" baseline (reference mechanism: test_helpers.py:39-41),
   2. steady-state reduced-model sweep time on the same grid — DEVICE
-     time, dispatch-amortized over a ×256 data-dependent chain: a single
-     dispatch of the ~0.3 ms sweep is ~90% tunnel-RPC latency on this
-     dev setup, which would cap the measured speedup at ~55× no matter
-     how fast either side is (the single-dispatch wall time and the
-     measured latency floor are both reported alongside),
+     time, dispatch-amortized as the slope between ×256 and ×1024
+     data-dependent chains: a single dispatch of the sweep is ~90%
+     tunnel-RPC latency on this dev setup, which would cap the measured
+     speedup at ~55× no matter how fast either side is (the
+     single-dispatch wall time, both chain walls, and the measured
+     latency floor are all reported alongside),
   3. headline = speedup (1)/(2); BASELINE.md target is ≥50×,
   4. extras: MOR accuracy vs the full-order oracle, basis size,
      dense-grid throughput (BASELINE config 2), basis-build time, dense
@@ -21,8 +22,10 @@ Prints exactly ONE JSON line to stdout:
 METHODOLOGY (STABLE as of round 4 — do not change the headline definition):
   headline = median full-order sweep wall time (warm, >=3 reps, scalar
   readback sync) / dispatch-amortized device time of one auto/spectral
-  reduced sweep (x256 data-dependent chain inside one jit, latency floor
-  subtracted). The single-dispatch wall time, the latency floor, and the
+  reduced sweep (data-dependent chains inside one jit; round 5 measures
+  the amortized time as the two-point slope between the k=256 and
+  k=1024 chains, which cancels the dispatch floor exactly — same
+  quantity, lower-variance estimator than the floor subtraction). The single-dispatch wall time, the latency floor, and the
   LU-path sweep time are always reported alongside in extras so the
   headline can be cross-checked. This is the round-3 definition; rounds
   1-2 used the single-dispatch wall number (floor-bound ~55x on the axon
@@ -304,25 +307,32 @@ def main():
     # dev setup (t_floor above), which says nothing about the sweep.
     # Chain K sweeps with a data dependency (each grid perturbed by the
     # previous result, so XLA cannot parallelize or cache them) inside
-    # ONE jit and divide — the headline divides the full-order sweep by
-    # THIS number, with the single-dispatch wall time reported alongside.
-    # k=256: at ~0.3 ms/sweep the chain's device time (~75 ms) clears
-    # the tunnel's several-ms jitter; k=16 measured 0 within noise.
-    def chained_sweep(fn, k=256):
+    # ONE jit. Round-5 estimator refinement: the per-sweep time is the
+    # TWO-POINT SLOPE between the k=256 and k=1024 chains,
+    # (t(1024) − t(256))/768 — the dispatch floor cancels EXACTLY,
+    # instead of subtracting a separately-measured floor whose several-ms
+    # jitter can flatter or redden the headline by 2× on a noisy tunnel
+    # (observed: floor 35.9 ms > single dispatch 26.8 ms in one run).
+    # Chain linearity was verified in round 3 (k=256 → 0.0659 ms/sweep,
+    # k=1024 → 0.0651). Same quantity as the round-3/4 definition,
+    # measured with the noise term removed.
+    def chain_fn(k):
         def run(g):
             def body(i, carry):
                 gi = g * (1.0 + carry * 1e-30) + i * 1e-3
-                x = fn(gi)
+                x = head_fn(gi)
                 return jnp.min(jnp.abs(x)) * 1e-300
 
             return jax.lax.fori_loop(0, k, body, jnp.asarray(0.0, g.dtype))
 
-        t = timed(jax.jit(run), grids_i, reps=5)
-        return max((t - t_floor) / k, 1e-9)
+        return jax.jit(run)
 
-    t_reduced = chained_sweep(head_fn)
-    log(f"reduced sweep auto/spectral device time (x256 chain): "
-        f"{t_reduced*1e3:.3f} ms/sweep")
+    t_chain256 = timed(chain_fn(256), grids_i, reps=5)
+    t_chain1024 = timed(chain_fn(1024), grids_i, reps=5)
+    t_reduced = max((t_chain1024 - t_chain256) / 768.0, 1e-9)
+    log(f"reduced sweep auto/spectral device time (chain slope "
+        f"256→1024): {t_reduced*1e3:.4f} ms/sweep "
+        f"(chains: {t_chain256*1e3:.1f} / {t_chain1024*1e3:.1f} ms)")
 
     speedup = t_full / t_reduced
 
@@ -354,6 +364,8 @@ def main():
     RESULT["extras"].update(
         {
             "reduced_sweep_ms": round(t_reduced * 1e3, 4),
+            "reduced_sweep_chain256_ms": round(t_chain256 * 1e3, 2),
+            "reduced_sweep_chain1024_ms": round(t_chain1024 * 1e3, 2),
             "reduced_sweep_single_dispatch_ms": round(
                 t_reduced_single * 1e3, 4
             ),
