@@ -553,3 +553,23 @@ def test_dense_complex_coefficients_cpu_route():
             worst, float(np.linalg.norm(rec[i] - ref) / np.linalg.norm(ref))
         )
     assert worst < 1e-9, worst
+
+
+def test_compress_complex_basis_drops_phase_redundancy():
+    """The real embedding stores v and i·v as independent directions;
+    over C they span one line — compression must drop the redundancy
+    while preserving the span exactly."""
+    from morfem_tpu.mor.complex_model import compress_complex_basis
+
+    rng = np.random.default_rng(3)
+    n = 40
+    v1 = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    v2 = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    q = np.stack([v1, 1j * v1, v2, (0.3 - 0.8j) * v2 + 2 * v1], axis=1)
+    q_hat = compress_complex_basis(q)
+    assert q_hat.shape == (n, 2)  # complex rank is 2
+    gram = q_hat.conj().T @ q_hat
+    assert np.linalg.norm(gram - np.eye(2)) < 1e-13
+    # span preserved: projecting the original columns loses nothing
+    proj = q_hat @ (q_hat.conj().T @ q)
+    assert np.linalg.norm(proj - q) < 1e-12 * np.linalg.norm(q)
